@@ -1,0 +1,378 @@
+"""Schema compiler: ``schema.json`` + CSVs -> :class:`DistrictSpec`.
+
+Replaces the reference's runtime OOP construction
+(``citylearn/citylearn.py:1973-2409``) with a one-shot offline compile.
+pandas/numpy are allowed here; nothing in this module runs under jit.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from citylearn_tpu.compiler import seeding
+from citylearn_tpu.compiler.spec import (
+    CURVE_PAD,
+    DEFAULT_COMFORT_BAND,
+    BatterySpec,
+    BuildingSpec,
+    DistrictSpec,
+    HVACDeviceSpec,
+    StorageTankSpec,
+)
+from citylearn_tpu.compiler.spaces import estimate_action_space, estimate_observation_space_limits
+
+# CSV -> series field lists (reference citylearn/data.py:341-661)
+ENERGY_SIM_INT_FIELDS = ["month", "hour", "day_type", "daylight_savings_status", "hvac_mode"]
+ENERGY_SIM_FLOAT_FIELDS = [
+    "indoor_dry_bulb_temperature", "average_unmet_cooling_setpoint_difference",
+    "indoor_relative_humidity", "non_shiftable_load", "dhw_demand",
+    "cooling_demand", "heating_demand", "solar_generation", "occupant_count",
+    "indoor_dry_bulb_temperature_cooling_set_point",
+    "indoor_dry_bulb_temperature_heating_set_point", "power_outage", "comfort_band",
+]
+WEATHER_FIELDS = [
+    "outdoor_dry_bulb_temperature", "outdoor_relative_humidity",
+    "diffuse_solar_irradiance", "direct_solar_irradiance",
+] + [
+    f"{base}_predicted_{i}"
+    for base in ("outdoor_dry_bulb_temperature", "outdoor_relative_humidity",
+                 "diffuse_solar_irradiance", "direct_solar_irradiance")
+    for i in (1, 2, 3)
+]
+PRICING_FIELDS = ["electricity_pricing"] + [f"electricity_pricing_predicted_{i}" for i in (1, 2, 3)]
+CARBON_FIELDS = ["carbon_intensity"]
+
+
+def _read_csv(cache: Dict[str, pd.DataFrame], root: str, filename: str) -> pd.DataFrame:
+    path = os.path.join(root, filename)
+    if path not in cache:
+        cache[path] = pd.read_csv(path)
+    return cache[path]
+
+
+def _series_from_energy_csv(df: pd.DataFrame) -> Dict[str, np.ndarray]:
+    """Build energy-simulation series with the reference's defaults/clips
+    (``citylearn/data.py:399-493``)."""
+    n = len(df)
+    out: Dict[str, np.ndarray] = {}
+
+    def col(name, dtype, default=None):
+        if name in df.columns and not df[name].isna().all():
+            return df[name].to_numpy(dtype=dtype)
+        return None if default is None else np.full(n, default, dtype=dtype)
+
+    for k in ["month", "hour", "day_type"]:
+        out[k] = df[k].to_numpy(dtype=np.int32)
+    if "minutes" in df.columns:
+        out["minutes"] = df["minutes"].to_numpy(dtype=np.int32)
+    out["daylight_savings_status"] = col("daylight_savings_status", np.int32, 0)
+    idt = col("indoor_dry_bulb_temperature", np.float32)
+    out["indoor_dry_bulb_temperature"] = (
+        np.zeros(n, np.float32) if idt is None else np.clip(idt, -90, 57))
+    out["average_unmet_cooling_setpoint_difference"] = col(
+        "average_unmet_cooling_setpoint_difference", np.float32, 0.0)
+    irh = col("indoor_relative_humidity", np.float32)
+    out["indoor_relative_humidity"] = (
+        np.zeros(n, np.float32) if irh is None else irh)
+    for k in ["non_shiftable_load", "dhw_demand", "cooling_demand", "heating_demand",
+              "solar_generation"]:
+        v = col(k, np.float32, 0.0)
+        out[k] = np.nan_to_num(v, nan=0.0) if k != "solar_generation" else v
+    assert float((out["cooling_demand"] * out["heating_demand"]).sum()) == 0.0, \
+        "Cooling and heating in the same time step is not allowed."
+    out["occupant_count"] = col("occupant_count", np.float32, 0.0)
+    out["indoor_dry_bulb_temperature_cooling_set_point"] = col(
+        "indoor_dry_bulb_temperature_cooling_set_point", np.float32, 0.0)
+    out["indoor_dry_bulb_temperature_heating_set_point"] = col(
+        "indoor_dry_bulb_temperature_heating_set_point", np.float32, 0.0)
+    out["power_outage"] = col("power_outage", np.float32, 0.0)
+    cb = col("comfort_band", np.float32)
+    out["comfort_band"] = (
+        np.full(n, DEFAULT_COMFORT_BAND, np.float32) if cb is None else cb)
+    hm = col("hvac_mode", np.int32)
+    out["hvac_mode"] = np.ones(n, np.int32) if hm is None else hm
+    return out
+
+
+def _resolve_hvac(block: Optional[dict], seed: Optional[int]) -> HVACDeviceSpec:
+    if block is None:
+        # Missing device: the reference constructs HeatPump(0.0)/ElectricHeater(0.0)
+        # with an *unseeded* (non-reproducible) efficiency sample
+        # (building.py:721-747). nominal_power == 0 makes it inert; we pick the
+        # range midpoint deterministically.
+        return HVACDeviceSpec(is_heat_pump=True, nominal_power=0.0, efficiency=0.25,
+                              target_cooling_temperature=8.5, target_heating_temperature=47.5)
+    attrs = dict(block.get("attributes") or {})
+    is_heat_pump = block["type"].rsplit(".", 1)[-1] == "HeatPump"
+    if is_heat_pump:
+        eff = seeding.resolve(attrs.get("efficiency"), (0.2, 0.3), seed)
+        tct = seeding.resolve(attrs.get("target_cooling_temperature"), (7.0, 10.0), seed)
+        tht = seeding.resolve(attrs.get("target_heating_temperature"), (45.0, 50.0), seed)
+    else:
+        eff = seeding.resolve(attrs.get("efficiency"), (0.9, 0.99), seed)  # energy_model.py:376
+        tct, tht = 8.5, 47.5
+    return HVACDeviceSpec(
+        is_heat_pump=is_heat_pump,
+        nominal_power=float(attrs.get("nominal_power") or 0.0),
+        efficiency=eff,
+        target_cooling_temperature=tct,
+        target_heating_temperature=tht,
+    )
+
+
+def _resolve_storage_tank(block: Optional[dict], seed: Optional[int],
+                          time_step_ratio: float) -> StorageTankSpec:
+    if block is None:
+        return StorageTankSpec(capacity=0.0, efficiency=0.94, loss_coefficient=0.005,
+                               initial_soc=0.0)
+    attrs = dict(block.get("attributes") or {})
+    eff = seeding.resolve(attrs.get("efficiency"), (0.90, 0.98), seed)
+    loss = seeding.resolve(attrs.get("loss_coefficient"), (0.001, 0.009), seed)
+    init = seeding.resolve(attrs.get("initial_soc"), 0.0, seed)
+    mip = attrs.get("max_input_power")
+    mop = attrs.get("max_output_power")
+    return StorageTankSpec(
+        capacity=float(attrs.get("capacity") or 0.0),
+        efficiency=eff,
+        loss_coefficient=loss * time_step_ratio,  # reference energy_model.py:647
+        initial_soc=init,
+        max_input_power=float("inf") if mip is None else float(mip),
+        max_output_power=float("inf") if mop is None else float(mop),
+    )
+
+
+def _resolve_battery(block: Optional[dict], seed: Optional[int],
+                     time_step_ratio: float) -> BatterySpec:
+    spec = BatterySpec()
+    attrs = dict((block or {}).get("attributes") or {})
+    # Order mirrors Battery.__init__ (energy_model.py:896-906); every tuple
+    # sample draws from a fresh RandomState(seed) so order does not matter
+    # for reproducibility, but defaults do.
+    spec.depth_of_discharge = seeding.resolve(attrs.get("depth_of_discharge"), 1.0, seed)
+    spec.capacity = float(attrs.get("capacity") or 0.0)
+    spec.nominal_power = float(attrs.get("nominal_power") or 0.0)
+    spec.efficiency = seeding.resolve(attrs.get("efficiency"), (0.90, 0.98), seed)
+    spec.loss_coefficient = (
+        seeding.resolve(attrs.get("loss_coefficient"), (0.001, 0.009), seed) * time_step_ratio)
+    init = attrs.get("initial_soc")
+    spec.initial_soc = (1.0 - spec.depth_of_discharge if init is None
+                        else seeding.resolve(init, 0.0, seed))
+    spec.capacity_loss_coefficient = seeding.resolve(
+        attrs.get("capacity_loss_coefficient"), (1e-5, 1e-4), seed)
+
+    pec = attrs.get("power_efficiency_curve")
+    if pec is None:
+        if seed is None:
+            raise ValueError("default battery curves require a device seed")
+        pec = seeding.default_power_efficiency_curve(spec.efficiency, seed)
+    cpc = attrs.get("capacity_power_curve")
+    if cpc is None:
+        if seed is None:
+            raise ValueError("default battery curves require a device seed")
+        cpc = seeding.default_capacity_power_curve(seed)
+    spec.power_efficiency_curve_x, spec.power_efficiency_curve_y = seeding.pad_curve(pec, CURVE_PAD)
+    spec.capacity_power_curve_x, spec.capacity_power_curve_y = seeding.pad_curve(cpc, CURVE_PAD)
+    return spec
+
+
+def _null_battery() -> BatterySpec:
+    """Battery(0.0, 0.0) default for buildings without electrical storage.
+
+    The reference samples its curves with an unseeded RandomState
+    (non-reproducible); with zero capacity/power the curves never matter,
+    so we use the shape defaults at efficiency 0.94 deterministically.
+    """
+    spec = BatterySpec(capacity=0.0, nominal_power=0.0, efficiency=0.94,
+                       loss_coefficient=0.005, initial_soc=0.0)
+    pec = [[0.0, 0.80], [0.3, 0.85], [0.7, 0.92], [0.8, 0.94], [1.0, 0.90]]
+    cpc = [[0.0, 1.0], [0.8, 0.92], [1.0, 0.25]]
+    spec.power_efficiency_curve_x, spec.power_efficiency_curve_y = seeding.pad_curve(pec, CURVE_PAD)
+    spec.capacity_power_curve_x, spec.capacity_power_curve_y = seeding.pad_curve(cpc, CURVE_PAD)
+    return spec
+
+
+def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides) -> DistrictSpec:
+    """Compile a CityLearn schema into a :class:`DistrictSpec`.
+
+    Parameters mirror ``CityLearnEnv.__init__`` overrides: any of
+    ``central_agent``, ``simulation_start_time_step``,
+    ``simulation_end_time_step``, ``episode_time_steps``,
+    ``rolling_episode_split``, ``random_episode_split``, ``random_seed``
+    may be passed as keyword overrides (reference ``citylearn.py:2006-2051``).
+    """
+    if isinstance(schema_path_or_dict, dict):
+        schema = dict(schema_path_or_dict)
+        assert root_directory is not None or schema.get("root_directory"), \
+            "root_directory required when schema is a dict"
+    else:
+        schema_path = str(schema_path_or_dict)
+        with open(schema_path) as f:
+            schema = json.load(f)
+        if root_directory is None and not schema.get("root_directory"):
+            root_directory = os.path.dirname(os.path.abspath(schema_path))
+    root = root_directory or schema.get("root_directory")
+
+    def get(key, default=None):
+        if key in overrides and overrides[key] is not None:
+            return overrides[key]
+        v = schema.get(key)
+        return default if v is None else v
+
+    # Env-level seed honors the constructor override (reference
+    # citylearn.py:170), but device-seed hashing always uses the schema's own
+    # seed: citylearn.py:2007 assigns schema['random_seed'] from the schema in
+    # *both* branches, so the override never reaches the md5 hash.
+    random_seed = int(get("random_seed", 0))
+    schema_random_seed = int(schema.get("random_seed") or 0)
+    central_agent = bool(get("central_agent", False))
+    seconds_per_time_step = float(get("seconds_per_time_step", 3600.0))
+    sim_start = int(get("simulation_start_time_step", 0))
+    sim_end = int(get("simulation_end_time_step"))
+    episode_time_steps = get("episode_time_steps")
+    rolling = bool(get("rolling_episode_split", False))
+    random_split = bool(get("random_episode_split", False))
+
+    obs_schema = schema["observations"]
+    act_schema = schema["actions"]
+    shared_observations = [k for k, v in obs_schema.items()
+                           if v.get("shared_in_central_agent", False)]
+
+    cache: Dict[str, pd.DataFrame] = {}
+    buildings: List[BuildingSpec] = []
+    time_step_ratio = 1.0
+
+    b_index = 0
+    for b_name, b_schema in schema["buildings"].items():
+        if not b_schema.get("include", True):
+            continue
+        # default type string feeds the md5 device-seed hash; the reference
+        # uses 'citylearn.citylearn.Building' (citylearn.py:2211)
+        b_type = b_schema.get("type") or "citylearn.citylearn.Building"
+
+        # --- data -------------------------------------------------------
+        edf = _read_csv(cache, root, b_schema["energy_simulation"])
+        series = _series_from_energy_csv(edf)
+        n = len(edf)
+
+        # time_step_ratio derivation (reference data.py:428-455)
+        hour = series["hour"]
+        minutes = series.get("minutes")
+        if minutes is not None and len(minutes) > 1:
+            delta = int(hour[1]) * 60 + int(minutes[1]) - (int(hour[0]) * 60 + int(minutes[0]))
+        else:
+            delta = (int(hour[1]) - int(hour[0])) * 60
+        if delta < 0:
+            delta += 1440
+        base_seconds = max(1, delta * 60)
+        time_step_ratio = seconds_per_time_step / base_seconds
+
+        wdf = _read_csv(cache, root, b_schema["weather"])
+        for k in WEATHER_FIELDS:
+            series[k] = wdf[k].to_numpy(dtype=np.float32)
+        if b_schema.get("pricing"):
+            pdf = _read_csv(cache, root, b_schema["pricing"])
+            for k in PRICING_FIELDS:
+                series[k] = np.clip(pdf[k].to_numpy(dtype=np.float32), 0, 1)
+        else:
+            for k in PRICING_FIELDS:
+                series[k] = np.zeros(n, np.float32)
+        if b_schema.get("carbon_intensity"):
+            cdf = _read_csv(cache, root, b_schema["carbon_intensity"])
+            series["carbon_intensity"] = np.clip(
+                cdf["carbon_intensity"].to_numpy(dtype=np.float32), 0, 1)
+        else:
+            series["carbon_intensity"] = np.zeros(n, np.float32)
+
+        # --- devices ----------------------------------------------------
+        def dev_seed(device_name: str, block: Optional[dict]) -> Optional[int]:
+            if block is None:
+                return None
+            explicit = (block.get("attributes") or {}).get("random_seed")
+            if explicit is not None:
+                return int(explicit)
+            return seeding.device_random_seed(
+                b_name, b_type, device_name, block["type"], schema_random_seed)
+
+        bat_block = b_schema.get("electrical_storage")
+        battery = (_resolve_battery(bat_block, dev_seed("electrical_storage", bat_block),
+                                    time_step_ratio)
+                   if bat_block is not None else _null_battery())
+        pv_block = b_schema.get("pv")
+        pv_nominal = float(((pv_block or {}).get("attributes") or {}).get("nominal_power") or 0.0)
+
+        cool_block = b_schema.get("cooling_device")
+        heat_block = b_schema.get("heating_device")
+        dhw_block = b_schema.get("dhw_device")
+        cooling_device = _resolve_hvac(cool_block, dev_seed("cooling_device", cool_block))
+        heating_device = _resolve_hvac(heat_block, dev_seed("heating_device", heat_block))
+        if heat_block is None:
+            heating_device.is_heat_pump = True   # default HeatPump(0.0), building.py:741-743
+        dhw_device = _resolve_hvac(dhw_block, dev_seed("dhw_device", dhw_block))
+        if dhw_block is None:
+            dhw_device.is_heat_pump = False      # default ElectricHeater(0.0), building.py:733-735
+            dhw_device.efficiency = 0.92
+
+        cs_block = b_schema.get("cooling_storage")
+        hs_block = b_schema.get("heating_storage")
+        ds_block = b_schema.get("dhw_storage")
+        cooling_storage = _resolve_storage_tank(cs_block, dev_seed("cooling_storage", cs_block), time_step_ratio)
+        heating_storage = _resolve_storage_tank(hs_block, dev_seed("heating_storage", hs_block), time_step_ratio)
+        dhw_storage = _resolve_storage_tank(ds_block, dev_seed("dhw_storage", ds_block), time_step_ratio)
+
+        # --- observation/action surface --------------------------------
+        inactive_obs = b_schema.get("inactive_observations") or []
+        inactive_act = b_schema.get("inactive_actions") or []
+        active_observations = [k for k, v in obs_schema.items()
+                               if v.get("active", False) and k not in inactive_obs]
+        active_actions = [k for k, v in act_schema.items()
+                          if v.get("active", False) and k not in inactive_act]
+
+        power_outage_cfg = b_schema.get("power_outage") or {}
+
+        spec = BuildingSpec(
+            name=b_name,
+            index=b_index,
+            active_observations=active_observations,
+            active_actions=active_actions,
+            observation_low={}, observation_high={},
+            action_low=[], action_high=[],
+            battery=battery,
+            pv_nominal_power=pv_nominal,
+            cooling_device=cooling_device,
+            heating_device=heating_device,
+            dhw_device=dhw_device,
+            cooling_storage=cooling_storage,
+            heating_storage=heating_storage,
+            dhw_storage=dhw_storage,
+            series=series,
+            simulate_power_outage=bool(power_outage_cfg.get("simulate_power_outage", False)),
+            stochastic_power_outage=bool(power_outage_cfg.get("stochastic_power_outage", False)),
+        )
+
+        lo, hi = estimate_observation_space_limits(spec, sim_start, sim_end)
+        spec.observation_low, spec.observation_high = lo, hi
+        spec.action_low, spec.action_high = estimate_action_space(spec, sim_start, sim_end)
+        buildings.append(spec)
+        b_index += 1
+
+    return DistrictSpec(
+        schema=schema,
+        dataset_dir=root,
+        buildings=buildings,
+        central_agent=central_agent,
+        random_seed=random_seed,
+        seconds_per_time_step=seconds_per_time_step,
+        time_step_ratio=time_step_ratio,
+        simulation_start_time_step=sim_start,
+        simulation_end_time_step=sim_end,
+        episode_time_steps=episode_time_steps,
+        rolling_episode_split=rolling,
+        random_episode_split=random_split,
+        shared_observations=shared_observations,
+    )

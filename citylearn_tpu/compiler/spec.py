@@ -1,0 +1,133 @@
+"""Resolved, static district specification (host-side, numpy).
+
+The compiler turns ``schema.json`` + CSVs into a :class:`DistrictSpec`:
+every stochastic parameter sampled, every curve resolved, every time
+series loaded over the full simulation range. The spec is pure data —
+the JAX packing step (:mod:`citylearn_tpu.core.params`) stacks it into
+``(T, B)`` / ``(B,)`` device tensors.
+
+Reference semantics reproduced here:
+  - device parameter resolution incl. tuple sampling and default battery
+    curves (``citylearn/energy_model.py:65-84,977-1003``)
+  - schema loading and device construction (``citylearn/citylearn.py:1973-2409``)
+  - observation/action space estimation (``citylearn/building.py:1867-2282``)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+ZERO_DIVISION_PLACEHOLDER = 1e-6  # reference citylearn/data.py:19
+DEFAULT_COMFORT_BAND = 2.0        # reference citylearn/data.py:397
+
+# Maximum number of knots any piecewise curve is padded to (the reference
+# defaults have 5 and 3 points; schema-provided curves are typically <= 10).
+CURVE_PAD = 12
+
+
+@dataclasses.dataclass
+class BatterySpec:
+    """Resolved ``citylearn.energy_model.Battery`` parameters."""
+    capacity: float = 0.0
+    nominal_power: float = 0.0
+    efficiency: float = 0.9            # base technical efficiency
+    loss_coefficient: float = 0.0      # standby loss (already x time_step_ratio neutral)
+    initial_soc: float = 0.0
+    depth_of_discharge: float = 1.0
+    capacity_loss_coefficient: float = 1e-5
+    power_efficiency_curve_x: np.ndarray = None  # (CURVE_PAD,)
+    power_efficiency_curve_y: np.ndarray = None
+    capacity_power_curve_x: np.ndarray = None
+    capacity_power_curve_y: np.ndarray = None
+
+
+@dataclasses.dataclass
+class HVACDeviceSpec:
+    """HeatPump or ElectricHeater (``energy_model.py:157-451``)."""
+    is_heat_pump: bool = True
+    nominal_power: float = 0.0
+    efficiency: float = 0.25
+    target_cooling_temperature: float = 8.5
+    target_heating_temperature: float = 47.5
+
+
+@dataclasses.dataclass
+class StorageTankSpec:
+    """StorageTank (``energy_model.py:603-871``)."""
+    capacity: float = 0.0
+    efficiency: float = 0.94
+    loss_coefficient: float = 0.005
+    initial_soc: float = 0.0
+    max_input_power: float = float("inf")   # inf == None in the reference
+    max_output_power: float = float("inf")
+
+
+@dataclasses.dataclass
+class BuildingSpec:
+    name: str
+    index: int
+    active_observations: List[str]
+    active_actions: List[str]
+    observation_low: Dict[str, float]
+    observation_high: Dict[str, float]
+    action_low: List[float]
+    action_high: List[float]
+
+    battery: BatterySpec
+    pv_nominal_power: float
+    cooling_device: HVACDeviceSpec
+    heating_device: HVACDeviceSpec
+    dhw_device: HVACDeviceSpec
+    cooling_storage: StorageTankSpec
+    heating_storage: StorageTankSpec
+    dhw_storage: StorageTankSpec
+
+    # Full-simulation-range driver series, each (T,) float32 (ints int32).
+    series: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+
+    simulate_power_outage: bool = False
+    stochastic_power_outage: bool = False
+
+
+@dataclasses.dataclass
+class DistrictSpec:
+    schema: dict
+    dataset_dir: str
+    buildings: List[BuildingSpec]
+    central_agent: bool
+    random_seed: int
+    seconds_per_time_step: float
+    time_step_ratio: float
+    simulation_start_time_step: int
+    simulation_end_time_step: int
+    episode_time_steps: Optional[object]   # int | list[[start, end]] | None
+    rolling_episode_split: bool
+    random_episode_split: bool
+    shared_observations: List[str]
+
+    @property
+    def simulation_time_steps(self) -> int:
+        return self.simulation_end_time_step - self.simulation_start_time_step + 1
+
+    @property
+    def n_buildings(self) -> int:
+        return len(self.buildings)
+
+    def observation_names(self) -> List[List[str]]:
+        """Per-agent observation name lists (reference ``citylearn.py:487-514``)."""
+        if self.central_agent:
+            names, seen_shared = [], []
+            for i, b in enumerate(self.buildings):
+                for k in b.active_observations:
+                    if i == 0 or k not in self.shared_observations or k not in names:
+                        names.append(k)
+            return [names]
+        return [list(b.active_observations) for b in self.buildings]
+
+    def action_names(self) -> List[List[str]]:
+        if self.central_agent:
+            return [[a for b in self.buildings for a in b.active_actions]]
+        return [list(b.active_actions) for b in self.buildings]

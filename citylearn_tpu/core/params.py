@@ -1,0 +1,220 @@
+"""Pack a compiled :class:`DistrictSpec` into device tensors + static config.
+
+Data layout is time-major ``(T, B)`` so each scanned step gathers one
+contiguous ``(B,)`` slab per field (HBM-friendly; replaces the reference's
+per-step ``TimeSeriesData.__getattr__`` slicing, ``data.py:313``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from citylearn_tpu.compiler.spec import BuildingSpec, DistrictSpec
+from citylearn_tpu.compiler.spaces import heat_pump_cop_np
+from citylearn_tpu.core.types import (
+    BatteryParams,
+    DistrictParams,
+    EnvState,
+    HVACParams,
+    SeriesData,
+    StaticConfig,
+    StorageTankParams,
+)
+
+# Observation names whose returned-at-t value is state-derived and therefore
+# *zero* at any index the step has not written yet (the reference returns
+# observations at t+1 before anything is written there; see
+# envs/environment.py and SURVEY.md §A.8 gotcha 5).
+DERIVED_ZERO_OBSERVATIONS = frozenset({
+    "cooling_storage_soc", "heating_storage_soc", "dhw_storage_soc",
+    "electrical_storage_soc", "net_electricity_consumption",
+    "cooling_electricity_consumption", "heating_electricity_consumption",
+    "dhw_electricity_consumption", "cooling_storage_electricity_consumption",
+    "heating_storage_electricity_consumption",
+    "dhw_storage_electricity_consumption",
+    "electrical_storage_electricity_consumption",
+    "washing_machine_electricity_consumption",
+})
+
+
+@dataclasses.dataclass(frozen=True)
+class ObsLayout:
+    """Static observation metadata: the union column order and each
+    building's active subset (as indices into the union)."""
+    union_names: Tuple[str, ...]
+    building_indices: Tuple[Tuple[int, ...], ...]   # per building
+
+    def column(self, name: str) -> int:
+        return self.union_names.index(name)
+
+
+def _stack(spec: DistrictSpec, key: str, dtype=np.float32) -> np.ndarray:
+    """(T, B) stack of one series over the simulation range."""
+    sl = slice(spec.simulation_start_time_step, spec.simulation_end_time_step + 1)
+    cols = [b.series[key][sl] for b in spec.buildings]
+    return np.stack(cols, axis=1).astype(dtype)
+
+
+def _obs_series(b: BuildingSpec, name: str, sl: slice) -> np.ndarray:
+    """Data-driven value of observation ``name`` for one building over the
+    simulation range (reference ``building.py:1336-1481`` data paths)."""
+    s = b.series
+    n = sl.stop - sl.start if sl.stop is not None else len(s["hour"])
+    if name in DERIVED_ZERO_OBSERVATIONS:
+        return np.zeros(len(s["hour"][sl]), np.float32)
+    if name == "solar_generation":
+        return np.abs(b.pv_nominal_power * s["solar_generation"][sl] / 1000.0)
+    if name == "cooling_device_efficiency":
+        return heat_pump_cop_np(s["outdoor_dry_bulb_temperature"][sl],
+                                b.cooling_device.efficiency,
+                                b.cooling_device.target_cooling_temperature, False)
+    if name == "heating_device_efficiency":
+        if b.heating_device.is_heat_pump:
+            return heat_pump_cop_np(s["outdoor_dry_bulb_temperature"][sl],
+                                    b.heating_device.efficiency,
+                                    b.heating_device.target_heating_temperature, True)
+        return np.full(len(s["hour"][sl]), b.heating_device.efficiency, np.float32)
+    if name == "dhw_device_efficiency":
+        if b.dhw_device.is_heat_pump:
+            return heat_pump_cop_np(s["outdoor_dry_bulb_temperature"][sl],
+                                    b.dhw_device.efficiency,
+                                    b.dhw_device.target_heating_temperature, True)
+        return np.full(len(s["hour"][sl]), b.dhw_device.efficiency, np.float32)
+    if name == "indoor_dry_bulb_temperature_cooling_delta":
+        return (s["indoor_dry_bulb_temperature"][sl]
+                - s["indoor_dry_bulb_temperature_cooling_set_point"][sl])
+    if name == "indoor_dry_bulb_temperature_heating_delta":
+        return (s["indoor_dry_bulb_temperature"][sl]
+                - s["indoor_dry_bulb_temperature_heating_set_point"][sl])
+    if name in s:
+        return s[name][sl]
+    return np.zeros(len(s["hour"][sl]), np.float32)
+
+
+def build_obs_layout(spec: DistrictSpec) -> ObsLayout:
+    union: List[str] = []
+    for b in spec.buildings:
+        for k in b.active_observations:
+            if k not in union:
+                union.append(k)
+    indices = tuple(tuple(union.index(k) for k in b.active_observations)
+                    for b in spec.buildings)
+    return ObsLayout(union_names=tuple(union), building_indices=indices)
+
+
+def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
+    B = spec.n_buildings
+    sl = slice(spec.simulation_start_time_step, spec.simulation_end_time_step + 1)
+
+    solar = np.stack(
+        [b.pv_nominal_power * b.series["solar_generation"][sl] / 1000.0
+         for b in spec.buildings], axis=1).astype(np.float32)
+    outage = np.stack(
+        [(b.series["power_outage"][sl] if b.simulate_power_outage
+          else np.zeros_like(b.series["power_outage"][sl]))
+         for b in spec.buildings], axis=1).astype(np.float32)
+
+    series = SeriesData(
+        non_shiftable_load=jnp.asarray(_stack(spec, "non_shiftable_load")),
+        cooling_demand=jnp.asarray(_stack(spec, "cooling_demand")),
+        heating_demand=jnp.asarray(_stack(spec, "heating_demand")),
+        dhw_demand=jnp.asarray(_stack(spec, "dhw_demand")),
+        solar_generation=jnp.asarray(solar),
+        outdoor_dry_bulb_temperature=jnp.asarray(_stack(spec, "outdoor_dry_bulb_temperature")),
+        electricity_pricing=jnp.asarray(_stack(spec, "electricity_pricing")),
+        carbon_intensity=jnp.asarray(_stack(spec, "carbon_intensity")),
+        power_outage=jnp.asarray(outage),
+        hvac_mode=jnp.asarray(_stack(spec, "hvac_mode", np.int32)),
+    )
+
+    f32 = lambda vals: jnp.asarray(np.asarray(vals, np.float32))
+    battery = BatteryParams(
+        capacity=f32([b.battery.capacity for b in spec.buildings]),
+        nominal_power=f32([b.battery.nominal_power for b in spec.buildings]),
+        efficiency=f32([b.battery.efficiency for b in spec.buildings]),
+        loss_coefficient=f32([b.battery.loss_coefficient for b in spec.buildings]),
+        initial_soc=f32([b.battery.initial_soc for b in spec.buildings]),
+        depth_of_discharge=f32([b.battery.depth_of_discharge for b in spec.buildings]),
+        capacity_loss_coefficient=f32([b.battery.capacity_loss_coefficient for b in spec.buildings]),
+        power_efficiency_curve_x=f32([b.battery.power_efficiency_curve_x for b in spec.buildings]),
+        power_efficiency_curve_y=f32([b.battery.power_efficiency_curve_y for b in spec.buildings]),
+        capacity_power_curve_x=f32([b.battery.capacity_power_curve_x for b in spec.buildings]),
+        capacity_power_curve_y=f32([b.battery.capacity_power_curve_y for b in spec.buildings]),
+    )
+
+    def hvac_params(get) -> HVACParams:
+        return HVACParams(
+            is_heat_pump=jnp.asarray([get(b).is_heat_pump for b in spec.buildings]),
+            nominal_power=f32([get(b).nominal_power for b in spec.buildings]),
+            efficiency=f32([get(b).efficiency for b in spec.buildings]),
+            target_cooling_temperature=f32([get(b).target_cooling_temperature for b in spec.buildings]),
+            target_heating_temperature=f32([get(b).target_heating_temperature for b in spec.buildings]),
+        )
+
+    def tank_params(get) -> StorageTankParams:
+        return StorageTankParams(
+            capacity=f32([get(b).capacity for b in spec.buildings]),
+            efficiency=f32([get(b).efficiency for b in spec.buildings]),
+            loss_coefficient=f32([get(b).loss_coefficient for b in spec.buildings]),
+            initial_soc=f32([get(b).initial_soc for b in spec.buildings]),
+            max_input_power=f32([get(b).max_input_power for b in spec.buildings]),
+            max_output_power=f32([get(b).max_output_power for b in spec.buildings]),
+        )
+
+    layout = build_obs_layout(spec)
+    T = spec.simulation_time_steps
+    obs_static = np.zeros((T, B, len(layout.union_names)), np.float32)
+    for bi, b in enumerate(spec.buildings):
+        for ki, name in enumerate(layout.union_names):
+            if name in b.active_observations:
+                obs_static[:, bi, ki] = _obs_series(b, name, sl)
+
+    params = DistrictParams(
+        series=series,
+        battery=battery,
+        cooling_device=hvac_params(lambda b: b.cooling_device),
+        heating_device=hvac_params(lambda b: b.heating_device),
+        dhw_device=hvac_params(lambda b: b.dhw_device),
+        cooling_storage=tank_params(lambda b: b.cooling_storage),
+        heating_storage=tank_params(lambda b: b.heating_storage),
+        dhw_storage=tank_params(lambda b: b.dhw_storage),
+        obs_static=jnp.asarray(obs_static),
+    )
+
+    episode_steps = spec.episode_time_steps
+    if episode_steps is None:
+        episode_steps = spec.simulation_time_steps
+    elif isinstance(episode_steps, list):
+        episode_steps = episode_steps[0][1] - episode_steps[0][0] + 1
+
+    cfg = StaticConfig(
+        n_buildings=B,
+        time_steps=int(episode_steps),
+        central_agent=spec.central_agent,
+        seconds_per_time_step=spec.seconds_per_time_step,
+        time_step_ratio=spec.time_step_ratio,
+        simulate_power_outage=tuple(b.simulate_power_outage for b in spec.buildings),
+    )
+    return cfg, params, layout
+
+
+def initial_state(cfg: StaticConfig, params: DistrictParams,
+                  data_offset: int = 0) -> EnvState:
+    """Episode-start state (reference ``Building.reset`` semantics:
+    SOC index 0 = initial_soc, efficiency history truncated to its base,
+    capacity history truncated to nominal capacity —
+    ``building.py:2526-2564``, ``energy_model.py:797-803,1237-1242``)."""
+    return EnvState(
+        t=jnp.asarray(0, jnp.int32),
+        data_offset=jnp.asarray(data_offset, jnp.int32),
+        battery_soc=params.battery.initial_soc,
+        battery_efficiency=params.battery.efficiency,
+        battery_degraded_capacity=params.battery.capacity,
+        cooling_storage_soc=params.cooling_storage.initial_soc,
+        heating_storage_soc=params.heating_storage.initial_soc,
+        dhw_storage_soc=params.dhw_storage.initial_soc,
+    )

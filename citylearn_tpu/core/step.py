@@ -1,0 +1,279 @@
+"""The fused district step: one pure function replacing the reference's
+entire ``CityLearnEnv.step`` OOP cascade (``citylearn/citylearn.py:978-1056``
+-> ``building.py:1500-1834`` -> ``energy_model.py``).
+
+Everything is elementwise over the building axis ``B`` (VPU work on TPU);
+the batched API vmaps this over a district axis and ``lax.scan``s over time.
+
+Order semantics (reference ``building.py:1566-1632``): the priority list is
+reordered per building from the *signs* of the storage actions —
+discharging electrical storage runs first, and a discharging end-use tank
+runs before its device. Because each decision is local, we compute both
+orderings of every block elementwise and select with ``jnp.where``; the
+cross-block coupling (``downward_electrical_flexibility``,
+``building.py:640-668``) is threaded through a consumption accumulator.
+
+t == 0 quirks reproduced (``building.py:2526-2564, 2615-2652``): at reset
+the device-energy arrays are prefilled with the raw demand series and
+``update_variables`` runs once; during the first step the t == 0 branch of
+``update_variables`` adds demand-derived consumption again — so device
+consumptions at index 0 are triple-counted (battery: double). The episode
+reward summary drops index 0 (``citylearn.py:1034``), but observations,
+rewards and KPI series see these values, so parity requires them.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from citylearn_tpu.core import hvac
+from citylearn_tpu.core.battery import battery_charge
+from citylearn_tpu.core.reward import compute_reward
+from citylearn_tpu.core.storage import tank_charge
+from citylearn_tpu.core.types import (
+    DistrictParams,
+    EnvState,
+    StaticConfig,
+    StepOutput,
+)
+
+INF = jnp.inf
+
+
+class _ThermalResult(NamedTuple):
+    soc: jnp.ndarray
+    balance: jnp.ndarray
+    device_output: jnp.ndarray          # energy_from_<end_use>_device this step
+    apply_consumption: jnp.ndarray      # apply-phase device consumption (device + storage charge)
+
+
+def _flex(outage, solar_abs, cons_accum):
+    """``downward_electrical_flexibility`` (reference ``building.py:640-668``)."""
+    cap = jnp.maximum(0.0, solar_abs - cons_accum)
+    return jnp.where(outage, cap, INF)
+
+
+def _thermal_block(dev, tank, soc_prev, demand, action, outdoor_t, heating: bool,
+                   conv_capacity, hours_ratio_applies: bool,
+                   outage, solar_abs, cons_accum, dev_cons_init,
+                   cfg: StaticConfig) -> Tuple[_ThermalResult, jnp.ndarray]:
+    """One end-use (cooling/heating/dhw): device + its storage tank.
+
+    ``conv_capacity`` is the capacity used for the action->energy
+    conversion — the reference uses the *cooling* tank's capacity for
+    heating storage and the *heating* tank's for dhw storage
+    (``building.py:1720,1765``), a shipped quirk we replicate.
+    ``dev_cons_init`` is the device's own consumption already booked at
+    this index (nonzero only at t == 0 from the reset-time
+    ``update_variables``). Returns the block result and the updated
+    district-level consumption accumulator.
+    """
+    hours_ratio = cfg.seconds_per_time_step / 3600.0
+    energy_req = action * conv_capacity * (hours_ratio if hours_ratio_applies else 1.0)
+    ratio = cfg.time_step_ratio
+
+    # ---- variant A: device first, then storage charge (action >= 0) ----
+    # update_energy_from_<end_use>_device (building.py:1641-1661): storage
+    # balance at t is still 0, so storage_output = 0.
+    flex1 = _flex(outage, solar_abs, cons_accum)
+    max_out1 = hvac.max_output_power(dev, outdoor_t, heating, flex1, dev_cons_init)
+    out_A = jnp.minimum(demand, max_out1)
+    cons_dev_A = jnp.maximum(0.0, hvac.input_power(dev, out_A, outdoor_t, heating))
+    # update_<end_use>_storage charging branch (building.py:1663-1687):
+    # clamp by the device's max output given consumption booked so far.
+    flex2 = _flex(outage, solar_abs, cons_accum + cons_dev_A)
+    max_out2 = hvac.max_output_power(dev, outdoor_t, heating, flex2,
+                                     dev_cons_init + cons_dev_A)
+    charge_A = jnp.minimum(max_out2, energy_req)
+    tank_A = tank_charge(tank, soc_prev, charge_A / ratio, ratio)
+    cons_store_A = hvac.input_power(dev, jnp.maximum(tank_A.energy_balance, 0.0),
+                                    outdoor_t, heating)
+
+    # ---- variant B: storage discharge first, then device (action < 0) ----
+    discharge_B = jnp.maximum(-demand, energy_req)
+    tank_B = tank_charge(tank, soc_prev, discharge_B / ratio, ratio)
+    cons_store_B = hvac.input_power(dev, jnp.maximum(tank_B.energy_balance, 0.0),
+                                    outdoor_t, heating)  # 0 for true discharge
+    storage_out_B = -jnp.minimum(tank_B.energy_balance, 0.0)
+    flex_B = _flex(outage, solar_abs, cons_accum + cons_store_B)
+    max_out_B = hvac.max_output_power(dev, outdoor_t, heating, flex_B,
+                                      dev_cons_init + cons_store_B)
+    out_B = jnp.minimum(demand - storage_out_B, max_out_B)
+    cons_dev_B = jnp.maximum(0.0, hvac.input_power(dev, out_B, outdoor_t, heating))
+
+    discharging = action < 0.0
+    pick = lambda a, b: jnp.where(discharging, b, a)
+    soc = pick(tank_A.soc, tank_B.soc)
+    balance = pick(tank_A.energy_balance, tank_B.energy_balance)
+    device_output = pick(out_A, out_B)
+    apply_cons = pick(cons_dev_A + cons_store_A, cons_dev_B + cons_store_B)
+    return (_ThermalResult(soc=soc, balance=balance, device_output=device_output,
+                           apply_consumption=apply_cons),
+            cons_accum + apply_cons)
+
+
+def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
+                  actions: Dict[str, jnp.ndarray]) -> Tuple[EnvState, StepOutput]:
+    """Apply ``actions`` at the current step and return the new state plus
+    all per-step quantities (reference stack §3.2 of SURVEY.md).
+
+    ``actions``: name -> (B,) array; inactive actions must be 0.0 for
+    storages (reference ``building.py:1561-1564``).
+    """
+    series = params.series
+    t = state.t
+    tau = state.data_offset + t
+    is_t0 = t == 0
+    ratio = cfg.time_step_ratio
+    hours_ratio = cfg.seconds_per_time_step / 3600.0
+
+    at = lambda arr: jnp.take(arr, tau, axis=0)  # (T, B) -> (B,)
+    nsl = at(series.non_shiftable_load)
+    cooling_demand = at(series.cooling_demand)
+    heating_demand = at(series.heating_demand)
+    dhw_demand = at(series.dhw_demand)
+    solar_abs = at(series.solar_generation)
+    outdoor_t = at(series.outdoor_dry_bulb_temperature)
+    pricing = at(series.electricity_pricing)
+    carbon = at(series.carbon_intensity)
+    outage = at(series.power_outage) > 0.0
+
+    # reset-time update_variables consumption already booked at index 0
+    # (building.py:2554-2558 prefill + 2618-2652). The heating branch uses
+    # the *dhw* device's input power when the heating device is not a heat
+    # pump (building.py:2629-2632) — shipped quirk.
+    reset_cool = hvac.input_power(params.cooling_device, cooling_demand, outdoor_t, False)
+    heat_in_hp = hvac.input_power(params.heating_device, heating_demand, outdoor_t, True)
+    heat_in_quirk = heating_demand / params.dhw_device.efficiency
+    reset_heat = jnp.where(params.heating_device.is_heat_pump, heat_in_hp, heat_in_quirk)
+    reset_dhw = hvac.input_power(params.dhw_device, dhw_demand, outdoor_t, True)
+    reset_nsl = nsl
+
+    zero = jnp.zeros_like(nsl)
+    t0 = lambda x: jnp.where(is_t0, x, 0.0)
+    dev_init_cool = t0(reset_cool)
+    dev_init_heat = t0(reset_heat)
+    dev_init_dhw = t0(reset_dhw)
+    cons_accum = t0(reset_cool + reset_heat + reset_dhw + reset_nsl)
+
+    # ---- electrical storage, early variant (discharging runs first,
+    # building.py:1606-1609) ----
+    bat_action = actions.get("electrical_storage", zero)
+    bat_energy = bat_action * params.battery.nominal_power * hours_ratio
+    bat_early = battery_charge(params.battery, state.battery_soc,
+                               state.battery_efficiency,
+                               state.battery_degraded_capacity,
+                               bat_energy / ratio, ratio)
+    bat_discharging = bat_action < 0.0
+    cons_accum = cons_accum + jnp.where(bat_discharging, bat_early.energy_balance, 0.0)
+
+    # ---- thermal blocks in priority order: cooling, heating, dhw ----
+    cool, cons_accum = _thermal_block(
+        params.cooling_device, params.cooling_storage, state.cooling_storage_soc,
+        cooling_demand, actions.get("cooling_storage", zero), outdoor_t, False,
+        params.cooling_storage.capacity, False, outage, solar_abs, cons_accum,
+        dev_init_cool, cfg)
+    heat, cons_accum = _thermal_block(
+        params.heating_device, params.heating_storage, state.heating_storage_soc,
+        heating_demand, actions.get("heating_storage", zero), outdoor_t, True,
+        params.cooling_storage.capacity,  # quirk: building.py:1720
+        True, outage, solar_abs, cons_accum, dev_init_heat, cfg)
+    dhw, cons_accum = _thermal_block(
+        params.dhw_device, params.dhw_storage, state.dhw_storage_soc,
+        dhw_demand, actions.get("dhw_storage", zero), outdoor_t, True,
+        params.heating_storage.capacity,  # quirk: building.py:1765
+        True, outage, solar_abs, cons_accum, dev_init_dhw, cfg)
+
+    # ---- non-shiftable load (building.py:1784-1789) ----
+    nsl_met = jnp.minimum(nsl, _flex(outage, solar_abs, cons_accum))
+    cons_accum = cons_accum + nsl_met
+
+    # ---- electrical storage, late variant (charging, building.py:1791-1812) ----
+    bat_energy_late = jnp.minimum(bat_energy, _flex(outage, solar_abs, cons_accum))
+    bat_late = battery_charge(params.battery, state.battery_soc,
+                              state.battery_efficiency,
+                              state.battery_degraded_capacity,
+                              bat_energy_late / ratio, ratio)
+    pickb = lambda e, l: jnp.where(bat_discharging, e, l)
+    bat_soc = pickb(bat_early.soc, bat_late.soc)
+    bat_balance = pickb(bat_early.energy_balance, bat_late.energy_balance)
+    bat_eff = pickb(bat_early.efficiency, bat_late.efficiency)
+    bat_degraded = pickb(bat_early.degraded_capacity, bat_late.degraded_capacity)
+
+    # ---- update_variables accounting (building.py:2615-2703) ----
+    # apply-phase totals per device
+    cool_cons = cool.apply_consumption
+    heat_cons = heat.apply_consumption
+    dhw_cons = dhw.apply_consumption
+    bat_cons = bat_balance
+
+    # t == 0 branch of update_variables re-adds demand-derived consumption
+    uv_cool = hvac.input_power(params.cooling_device,
+                               cool.device_output + cool.balance, outdoor_t, False)
+    uv_heat_hp = hvac.input_power(params.heating_device,
+                                  heat.device_output + heat.balance, outdoor_t, True)
+    uv_heat = jnp.where(params.heating_device.is_heat_pump, uv_heat_hp,
+                        (heat.device_output + heat.balance) / params.dhw_device.efficiency)
+    uv_dhw = hvac.input_power(params.dhw_device,
+                              dhw.device_output + dhw.balance, outdoor_t, True)
+
+    cool_total = cool_cons + t0(reset_cool + uv_cool)
+    heat_total = heat_cons + t0(reset_heat + uv_heat)
+    dhw_total = dhw_cons + t0(reset_dhw + uv_dhw)
+    nsl_total = nsl_met + t0(reset_nsl + nsl_met)
+    bat_total = bat_cons + t0(bat_balance)
+
+    solar_neg = -solar_abs
+    net = (cool_total + heat_total + dhw_total + nsl_total + bat_total + solar_neg)
+    net = jnp.where(outage, 0.0, net)
+    cost = net * pricing
+    emission = jnp.maximum(0.0, net * carbon)
+
+    # storage electricity consumption series for counterfactual KPIs
+    # (building.py:414-464): device input power of the tank balance.
+    cool_store_cons = hvac.input_power(params.cooling_device, cool.balance, outdoor_t, False)
+    heat_store_cons = hvac.input_power(params.heating_device, heat.balance, outdoor_t, True)
+    dhw_store_cons = hvac.input_power(params.dhw_device, dhw.balance, outdoor_t, True)
+
+    new_state = state.replace(
+        t=t + 1,
+        battery_soc=bat_soc,
+        battery_efficiency=bat_eff,
+        battery_degraded_capacity=bat_degraded,
+        cooling_storage_soc=cool.soc,
+        heating_storage_soc=heat.soc,
+        dhw_storage_soc=dhw.soc,
+    )
+
+    reward = compute_reward(cfg, net=net, battery_soc=bat_soc, solar=solar_abs)
+
+    out = StepOutput(
+        net_electricity_consumption=net,
+        net_electricity_consumption_cost=cost,
+        net_electricity_consumption_emission=emission,
+        reward=reward,
+        cooling_consumption=cool_total,
+        heating_consumption=heat_total,
+        dhw_consumption=dhw_total,
+        non_shiftable_consumption=nsl_total,
+        battery_consumption=bat_total,
+        cooling_storage_consumption=cool_store_cons,
+        heating_storage_consumption=heat_store_cons,
+        dhw_storage_consumption=dhw_store_cons,
+        solar_generation=solar_neg,
+        battery_soc=bat_soc,
+        cooling_storage_soc=cool.soc,
+        heating_storage_soc=heat.soc,
+        dhw_storage_soc=dhw.soc,
+        cooling_demand_met=cool.device_output,
+        heating_demand_met=heat.device_output,
+        dhw_demand_met=dhw.device_output,
+        non_shiftable_load_met=nsl_met,
+        cooling_storage_balance=cool.balance,
+        heating_storage_balance=heat.balance,
+        dhw_storage_balance=dhw.balance,
+        battery_balance=bat_balance,
+    )
+    return new_state, out

@@ -1,0 +1,151 @@
+"""Pytree types for the TPU-native district engine.
+
+State is struct-of-arrays with a leading building axis ``B``; the batched
+API adds a district axis ``D`` in front via ``vmap``. Driver data has the
+time axis first — ``(T, B)`` — so one ``lax.dynamic_index_in_dim`` per
+step fetches a contiguous ``(B,)`` slab.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+
+class BatteryParams(struct.PyTreeNode):
+    """Per-building battery parameters, each ``(B,)`` float32 (curves ``(B, P)``).
+
+    Mirrors resolved ``citylearn.energy_model.Battery`` construction
+    (reference ``energy_model.py:872-1016``).
+    """
+    capacity: jnp.ndarray
+    nominal_power: jnp.ndarray
+    efficiency: jnp.ndarray              # base technical efficiency
+    loss_coefficient: jnp.ndarray        # standby loss (already includes ratio)
+    initial_soc: jnp.ndarray
+    depth_of_discharge: jnp.ndarray
+    capacity_loss_coefficient: jnp.ndarray
+    power_efficiency_curve_x: jnp.ndarray  # (B, P)
+    power_efficiency_curve_y: jnp.ndarray
+    capacity_power_curve_x: jnp.ndarray
+    capacity_power_curve_y: jnp.ndarray
+
+
+class HVACParams(struct.PyTreeNode):
+    """Heat pump / electric heater per building, ``(B,)`` each.
+
+    ``is_heat_pump`` selects between Carnot-COP heat-pump math and
+    constant-efficiency heater math (reference ``energy_model.py:157-451``).
+    """
+    is_heat_pump: jnp.ndarray            # bool (B,)
+    nominal_power: jnp.ndarray
+    efficiency: jnp.ndarray
+    target_cooling_temperature: jnp.ndarray
+    target_heating_temperature: jnp.ndarray
+
+
+class StorageTankParams(struct.PyTreeNode):
+    """Thermal storage tank per building (reference ``energy_model.py:603-871``)."""
+    capacity: jnp.ndarray
+    efficiency: jnp.ndarray
+    loss_coefficient: jnp.ndarray
+    initial_soc: jnp.ndarray
+    max_input_power: jnp.ndarray         # +inf when unconstrained
+    max_output_power: jnp.ndarray
+
+
+class SeriesData(struct.PyTreeNode):
+    """Driver time series, each ``(T, B)`` float32 over the simulation range.
+
+    ``solar_generation`` is pre-scaled PV output (``pv_nominal * W_per_kW/1000``,
+    positive kWh; reference ``energy_model.py:488``)."""
+    non_shiftable_load: jnp.ndarray
+    cooling_demand: jnp.ndarray
+    heating_demand: jnp.ndarray
+    dhw_demand: jnp.ndarray
+    solar_generation: jnp.ndarray
+    outdoor_dry_bulb_temperature: jnp.ndarray
+    electricity_pricing: jnp.ndarray
+    carbon_intensity: jnp.ndarray
+    power_outage: jnp.ndarray
+    hvac_mode: jnp.ndarray               # int32 (T, B)
+
+
+class DistrictParams(struct.PyTreeNode):
+    """Everything the jitted step consumes (HBM-resident)."""
+    series: SeriesData
+    battery: BatteryParams
+    cooling_device: HVACParams
+    heating_device: HVACParams
+    dhw_device: HVACParams
+    cooling_storage: StorageTankParams
+    heating_storage: StorageTankParams
+    dhw_storage: StorageTankParams
+    # Data-driven observation matrix (T, B, K): every active observation's
+    # value when it is purely a function of the dataset; state-derived
+    # columns are zero (which matches the reference's returned-observation
+    # semantics at t >= 1; see envs/environment.py).
+    obs_static: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class StaticConfig:
+    """Hashable static configuration closed over by the jitted step."""
+    n_buildings: int
+    time_steps: int                      # episode length T (steps = T - 1)
+    central_agent: bool
+    seconds_per_time_step: float
+    time_step_ratio: float
+    simulate_power_outage: Tuple[bool, ...]   # per building
+    reward_exponent: float = 1.0
+    reward_type: str = "RewardFunction"
+
+    @property
+    def any_outage(self) -> bool:
+        return any(self.simulate_power_outage)
+
+
+class EnvState(struct.PyTreeNode):
+    """Carried episode state, leading axis ``B`` on array fields."""
+    t: jnp.ndarray                       # scalar int32, episode-local step index
+    data_offset: jnp.ndarray             # scalar int32, episode window start in the sim range
+    battery_soc: jnp.ndarray             # (B,) fraction, soc[t-1] (raw, pre standby loss)
+    battery_efficiency: jnp.ndarray      # (B,) last applied efficiency (history[-1])
+    battery_degraded_capacity: jnp.ndarray
+    cooling_storage_soc: jnp.ndarray
+    heating_storage_soc: jnp.ndarray
+    dhw_storage_soc: jnp.ndarray
+
+
+class StepOutput(struct.PyTreeNode):
+    """Per-step results (leading axis ``B``) used for rewards, KPI series
+    and the Gym adapter's bookkeeping."""
+    net_electricity_consumption: jnp.ndarray
+    net_electricity_consumption_cost: jnp.ndarray
+    net_electricity_consumption_emission: jnp.ndarray
+    reward: jnp.ndarray                  # (B,) decentralized or (1,) central
+    # storage/device detail needed for counterfactual KPI baselines
+    cooling_consumption: jnp.ndarray
+    heating_consumption: jnp.ndarray
+    dhw_consumption: jnp.ndarray
+    non_shiftable_consumption: jnp.ndarray
+    battery_consumption: jnp.ndarray
+    cooling_storage_consumption: jnp.ndarray   # device input power of tank balance
+    heating_storage_consumption: jnp.ndarray
+    dhw_storage_consumption: jnp.ndarray
+    solar_generation: jnp.ndarray              # negative kWh
+    battery_soc: jnp.ndarray
+    cooling_storage_soc: jnp.ndarray
+    heating_storage_soc: jnp.ndarray
+    dhw_storage_soc: jnp.ndarray
+    cooling_demand_met: jnp.ndarray            # energy_from_cooling_device
+    heating_demand_met: jnp.ndarray
+    dhw_demand_met: jnp.ndarray
+    non_shiftable_load_met: jnp.ndarray
+    cooling_storage_balance: jnp.ndarray
+    heating_storage_balance: jnp.ndarray
+    dhw_storage_balance: jnp.ndarray
+    battery_balance: jnp.ndarray

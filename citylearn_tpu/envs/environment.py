@@ -1,0 +1,508 @@
+"""Single-instance Gymnasium adapter: a drop-in for
+``citylearn.citylearn.CityLearnEnv`` backed by the fused JAX step.
+
+Reproduces the reference's exact external contract:
+  - observation/action ordering and spaces (``citylearn.py:385-538``);
+  - the returned observation at t+1 reads *unwritten* state-derived values
+    (SOC, net consumption, device consumption = 0) while data-driven values
+    come from index t+1 — the shipped semantics agents actually see
+    (``building.py:1115-1219`` over zero-filled arrays);
+  - reset-time observations reflect the reset ``update_variables`` pass
+    (``citylearn.py:1884``, ``building.py:2615-2652``);
+  - ``terminated`` at ``time_step == time_steps - 1`` (``citylearn.py:373``);
+  - ``evaluate()`` KPI DataFrame with control/baseline normalization
+    (``citylearn.py:1136-1323``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, Mapping, Optional, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from citylearn_tpu.compiler.schema import compile_schema
+from citylearn_tpu.compiler.spaces import _hvac_input_power_np
+from citylearn_tpu.compiler.spec import DistrictSpec
+from citylearn_tpu.core import kpi
+from citylearn_tpu.core.params import DERIVED_ZERO_OBSERVATIONS, initial_state, pack
+from citylearn_tpu.core.step import district_step
+from citylearn_tpu.envs.episode import EpisodeTracker
+
+try:
+    from gymnasium import spaces as gym_spaces
+except ImportError:  # pragma: no cover
+    gym_spaces = None
+
+STORAGE_ACTIONS = ("cooling_storage", "heating_storage", "dhw_storage",
+                   "electrical_storage")
+DEVICE_ACTIONS = ("cooling_device", "heating_device", "cooling_or_heating_device")
+
+
+class CityLearnEnv:
+    """TPU-native CityLearn environment (single district instance)."""
+
+    def __init__(self, schema: Union[str, dict], root_directory: str = None,
+                 central_agent: bool = None, episode_time_steps=None,
+                 rolling_episode_split: bool = None, random_episode_split: bool = None,
+                 simulation_start_time_step: int = None,
+                 simulation_end_time_step: int = None, random_seed: int = None,
+                 reward_function: str = None, **kwargs: Any):
+        self.spec: DistrictSpec = compile_schema(
+            schema, root_directory=root_directory, central_agent=central_agent,
+            episode_time_steps=episode_time_steps,
+            rolling_episode_split=rolling_episode_split,
+            random_episode_split=random_episode_split,
+            simulation_start_time_step=simulation_start_time_step,
+            simulation_end_time_step=simulation_end_time_step,
+            random_seed=random_seed)
+        self.cfg, self.params, self.layout = pack(self.spec)
+        if reward_function is not None:
+            self.cfg = type(self.cfg)(**{**self.cfg.__dict__,
+                                         "reward_type": reward_function})
+        self._step_jit = jax.jit(functools.partial(district_step, self.cfg))
+        self.episode_tracker = EpisodeTracker(
+            self.spec.simulation_start_time_step, self.spec.simulation_end_time_step)
+        self._obs_static_np = np.asarray(self.params.obs_static)
+        self._rewards: List[List[float]] = [[]]
+        self._episode_rewards: List[dict] = []
+        self._history: dict = {}
+        self._state = None
+        self.reset()
+        # The reference resets the episode index after its construction-time
+        # reset so the user's first reset() replays episode 0
+        # (citylearn.py:237 + base.py:131-134 semantics observed empirically).
+        self.episode_tracker.episode = -1
+
+    # ------------------------------------------------------------------
+    # surface properties (reference citylearn.py:360-538)
+    # ------------------------------------------------------------------
+    @property
+    def central_agent(self) -> bool:
+        return self.spec.central_agent
+
+    @property
+    def buildings(self):
+        return self.spec.buildings
+
+    @property
+    def time_step(self) -> int:
+        return self._t
+
+    @property
+    def time_steps(self) -> int:
+        return self.episode_tracker.episode_time_steps
+
+    @property
+    def terminated(self) -> bool:
+        return self._t == self.time_steps - 1
+
+    @property
+    def truncated(self) -> bool:
+        return False
+
+    @property
+    def rewards(self) -> List[List[float]]:
+        return self._rewards
+
+    @property
+    def episode_rewards(self) -> List[dict]:
+        return self._episode_rewards
+
+    @property
+    def observation_names(self) -> List[List[str]]:
+        return self.spec.observation_names()
+
+    @property
+    def action_names(self) -> List[List[str]]:
+        return self.spec.action_names()
+
+    @property
+    def shared_observations(self) -> List[str]:
+        return self.spec.shared_observations
+
+    @property
+    def observation_space(self):
+        lows, highs = [], []
+        for b in self.spec.buildings:
+            lows.append(np.array([b.observation_low[k] for k in b.active_observations],
+                                 dtype=np.float32))
+            highs.append(np.array([b.observation_high[k] for k in b.active_observations],
+                                  dtype=np.float32))
+        if self.central_agent:
+            lo, hi = self._dedup_central(lows, highs)
+            return [gym_spaces.Box(low=lo, high=hi, dtype=np.float32)]
+        return [gym_spaces.Box(low=l, high=h, dtype=np.float32)
+                for l, h in zip(lows, highs)]
+
+    @property
+    def action_space(self):
+        if self.central_agent:
+            lo = np.concatenate([np.asarray(b.action_low, np.float32)
+                                 for b in self.spec.buildings])
+            hi = np.concatenate([np.asarray(b.action_high, np.float32)
+                                 for b in self.spec.buildings])
+            return [gym_spaces.Box(low=lo, high=hi, dtype=np.float32)]
+        return [gym_spaces.Box(low=np.asarray(b.action_low, np.float32),
+                               high=np.asarray(b.action_high, np.float32),
+                               dtype=np.float32)
+                for b in self.spec.buildings]
+
+    def _dedup_central(self, lows, highs):
+        """Shared observations appear once, at their first occurrence
+        (reference citylearn.py:400-420)."""
+        out_lo, out_hi, seen_shared = [], [], []
+        for i, b in enumerate(self.spec.buildings):
+            for l, h, name in zip(lows[i], highs[i], b.active_observations):
+                if i == 0 or name not in self.spec.shared_observations \
+                        or name not in seen_shared:
+                    out_lo.append(l)
+                    out_hi.append(h)
+                if name in self.spec.shared_observations and name not in seen_shared:
+                    seen_shared.append(name)
+        return np.asarray(out_lo, np.float32), np.asarray(out_hi, np.float32)
+
+    # ------------------------------------------------------------------
+    # reset / step
+    # ------------------------------------------------------------------
+    def reset(self, seed: int = None, options: Mapping[str, Any] = None
+              ) -> Tuple[List[List[float]], dict]:
+        if seed is not None:
+            self.spec.random_seed = seed
+        self.episode_tracker.next_episode(
+            self.spec.episode_time_steps, self.spec.rolling_episode_split,
+            self.spec.random_episode_split, self.spec.random_seed)
+        self._offset = (self.episode_tracker.episode_start_time_step
+                        - self.spec.simulation_start_time_step)
+        self._t = 0
+        self._state = initial_state(self.cfg, self.params, self._offset)
+        self._rewards = [[]]
+        T = self.time_steps
+        B = self.cfg.n_buildings
+        self._history = {k: np.zeros((T, B), np.float32) for k in (
+            "net", "cost", "emission", "cooling_storage_cons", "heating_storage_cons",
+            "dhw_storage_cons", "battery_cons", "solar", "cooling_demand_met",
+            "heating_demand_met", "dhw_demand_met", "non_shiftable_load_met",
+            "cooling_storage_balance", "heating_storage_balance", "dhw_storage_balance",
+            "battery_soc", "indoor_temperature")}
+        self._write_reset_row()
+        return self.observations, self.get_info()
+
+    def _reset_consumptions(self, idx: int):
+        """Reset-time ``update_variables`` values at absolute sim index
+        ``idx`` (building.py:2615-2652 with prefilled demand arrays)."""
+        cools, heats, dhws, nsls, nets = [], [], [], [], []
+        for b in self.spec.buildings:
+            t_out = b.series["outdoor_dry_bulb_temperature"][idx]
+            cool = float(_hvac_input_power_np(b.cooling_device,
+                                              b.series["cooling_demand"][idx], t_out, False))
+            if b.heating_device.is_heat_pump:
+                heat = float(_hvac_input_power_np(b.heating_device,
+                                                  b.series["heating_demand"][idx], t_out, True))
+            else:
+                heat = float(b.series["heating_demand"][idx] / b.dhw_device.efficiency)
+            dhw = float(_hvac_input_power_np(b.dhw_device,
+                                             b.series["dhw_demand"][idx], t_out, True))
+            nsl = float(b.series["non_shiftable_load"][idx])
+            solar = -b.pv_nominal_power * float(b.series["solar_generation"][idx]) / 1000.0
+            outage = b.simulate_power_outage and b.series["power_outage"][idx] > 0
+            net = 0.0 if outage else cool + heat + dhw + nsl + solar
+            cools.append(cool); heats.append(heat); dhws.append(dhw)
+            nsls.append(nsl); nets.append(net)
+        return cools, heats, dhws, nsls, nets
+
+    def _write_reset_row(self):
+        idx = self.episode_tracker.episode_start_time_step
+        cools, heats, dhws, nsls, nets = self._reset_consumptions(idx)
+        h = self._history
+        for bi, b in enumerate(self.spec.buildings):
+            h["net"][0, bi] = nets[bi]
+            h["cost"][0, bi] = nets[bi] * b.series["electricity_pricing"][idx]
+            h["emission"][0, bi] = max(0.0, nets[bi] * b.series["carbon_intensity"][idx])
+            h["solar"][0, bi] = -b.pv_nominal_power * b.series["solar_generation"][idx] / 1000.0
+            h["cooling_demand_met"][0, bi] = b.series["cooling_demand"][idx]
+            h["heating_demand_met"][0, bi] = b.series["heating_demand"][idx]
+            h["dhw_demand_met"][0, bi] = b.series["dhw_demand"][idx]
+            h["non_shiftable_load_met"][0, bi] = b.series["non_shiftable_load"][idx]
+            h["battery_soc"][0, bi] = b.battery.initial_soc
+            h["indoor_temperature"][0, bi] = b.series["indoor_dry_bulb_temperature"][idx]
+
+    def _parse_actions(self, actions) -> dict:
+        """Flat agent action lists -> name -> (B,) arrays
+        (reference citylearn.py:1063-1134)."""
+        B = self.cfg.n_buildings
+        out = {k: np.zeros(B, np.float32) for k in STORAGE_ACTIONS + DEVICE_ACTIONS}
+        if self.central_agent:
+            flat = list(np.asarray(actions[0]).ravel())
+            per_building = []
+            for b in self.spec.buildings:
+                n = len(b.active_actions)
+                per_building.append(flat[:n])
+                flat = flat[n:]
+            assert not flat, "too many actions for central agent"
+        else:
+            per_building = [list(np.asarray(a).ravel()) for a in actions]
+        for bi, (b, acts) in enumerate(zip(self.spec.buildings, per_building)):
+            assert len(acts) == len(b.active_actions), (
+                f"expected {len(b.active_actions)} actions for {b.name}, got {len(acts)}")
+            for name, val in zip(b.active_actions, acts):
+                out[name][bi] = val
+        return out
+
+    def step(self, actions) -> Tuple[List[List[float]], List[float], bool, bool, dict]:
+        acts = self._parse_actions(actions)
+        acts_j = {k: jnp.asarray(v) for k, v in acts.items()}
+        self._state, out = self._step_jit(self.params, self._state, acts_j)
+        out = jax.device_get(out)
+        t = self._t
+        h = self._history
+        h["net"][t] = out.net_electricity_consumption
+        h["cost"][t] = out.net_electricity_consumption_cost
+        h["emission"][t] = out.net_electricity_consumption_emission
+        h["cooling_storage_cons"][t] = out.cooling_storage_consumption
+        h["heating_storage_cons"][t] = out.heating_storage_consumption
+        h["dhw_storage_cons"][t] = out.dhw_storage_consumption
+        h["battery_cons"][t] = out.battery_consumption
+        h["solar"][t] = out.solar_generation
+        h["cooling_demand_met"][t] = out.cooling_demand_met
+        h["heating_demand_met"][t] = out.heating_demand_met
+        h["dhw_demand_met"][t] = out.dhw_demand_met
+        h["non_shiftable_load_met"][t] = out.non_shiftable_load_met
+        h["cooling_storage_balance"][t] = out.cooling_storage_balance
+        h["heating_storage_balance"][t] = out.heating_storage_balance
+        h["dhw_storage_balance"][t] = out.dhw_storage_balance
+        h["battery_soc"][t] = out.battery_soc
+        idx = self._offset + t + self.spec.simulation_start_time_step
+        for bi, b in enumerate(self.spec.buildings):
+            h["indoor_temperature"][t, bi] = b.series["indoor_dry_bulb_temperature"][idx]
+
+        reward = [float(r) for r in np.asarray(out.reward)]
+        self._rewards.append(reward)
+        self._t += 1
+
+        if self.terminated:
+            r = np.array(self._rewards[1:], dtype=np.float32)
+            self._episode_rewards.append({
+                "min": r.min(axis=0).tolist(), "max": r.max(axis=0).tolist(),
+                "sum": r.sum(axis=0).tolist(), "mean": r.mean(axis=0).tolist()})
+
+        return self.observations, reward, self.terminated, self.truncated, self.get_info()
+
+    def get_info(self) -> Mapping[Any, Any]:
+        return {}
+
+    # ------------------------------------------------------------------
+    # observations
+    # ------------------------------------------------------------------
+    @property
+    def observations(self) -> List[List[float]]:
+        """Observations at the current time step (reference
+        citylearn.py:451-485 semantics, including stale derived values)."""
+        idx = self._offset + self._t
+        row = self._obs_static_np[idx]  # (B, K)
+        per_building = []
+        for bi, b in enumerate(self.spec.buildings):
+            cols = self.layout.building_indices[bi]
+            vals = row[bi, list(cols)].astype(np.float64)
+            if self._t == 0:
+                vals = self._apply_reset_corrections(bi, vals)
+            per_building.append(list(vals))
+        if not self.central_agent:
+            return per_building
+        merged, seen_shared = [], []
+        for bi, b in enumerate(self.spec.buildings):
+            for name, v in zip(b.active_observations, per_building[bi]):
+                if bi == 0 or name not in self.spec.shared_observations \
+                        or name not in seen_shared:
+                    merged.append(v)
+                if name in self.spec.shared_observations and name not in seen_shared:
+                    seen_shared.append(name)
+        return [merged]
+
+    def _apply_reset_corrections(self, bi: int, vals: np.ndarray) -> np.ndarray:
+        """At reset, index 0 *has* been written by the reset-time
+        ``update_variables`` and SOC[0] = initial_soc."""
+        b = self.spec.buildings[bi]
+        idx = self.episode_tracker.episode_start_time_step
+        cools, heats, dhws, nsls, nets = self._reset_cache
+        corrections = {
+            "electrical_storage_soc": b.battery.initial_soc,
+            "cooling_storage_soc": b.cooling_storage.initial_soc,
+            "heating_storage_soc": b.heating_storage.initial_soc,
+            "dhw_storage_soc": b.dhw_storage.initial_soc,
+            "net_electricity_consumption": nets[bi],
+            "cooling_electricity_consumption": cools[bi],
+            "heating_electricity_consumption": heats[bi],
+            "dhw_electricity_consumption": dhws[bi],
+        }
+        for i, name in enumerate(b.active_observations):
+            if name in corrections:
+                vals[i] = corrections[name]
+        return vals
+
+    @property
+    def _reset_cache(self):
+        if not hasattr(self, "_reset_cache_val") or self._reset_cache_idx != \
+                self.episode_tracker.episode_start_time_step:
+            self._reset_cache_idx = self.episode_tracker.episode_start_time_step
+            self._reset_cache_val = self._reset_consumptions(self._reset_cache_idx)
+        return self._reset_cache_val
+
+    # ------------------------------------------------------------------
+    # evaluation (reference citylearn.py:1136-1323)
+    # ------------------------------------------------------------------
+    def evaluate(self, control_condition: str = None, baseline_condition: str = None,
+                 comfort_band: float = None):
+        import pandas as pd
+        h = self._history
+        n = self._t + 1
+        # Index self._t has not been written by a step yet (the reference's
+        # energy_from_* arrays are *prefilled* with the raw demand series at
+        # reset, building.py:2554-2558, so the un-stepped row reads as
+        # demand fully met with zero storage activity). Patch it, except at
+        # t == 0 where the reset row already holds the correct values.
+        if self._t >= 1:
+            idx = self.episode_tracker.episode_start_time_step + self._t
+            for bi, b in enumerate(self.spec.buildings):
+                h["cooling_demand_met"][self._t, bi] = b.series["cooling_demand"][idx]
+                h["heating_demand_met"][self._t, bi] = b.series["heating_demand"][idx]
+                h["dhw_demand_met"][self._t, bi] = b.series["dhw_demand"][idx]
+                h["non_shiftable_load_met"][self._t, bi] = b.series["non_shiftable_load"][idx]
+                h["indoor_temperature"][self._t, bi] = \
+                    b.series["indoor_dry_bulb_temperature"][idx]
+        control_condition = control_condition or ""
+        baseline_condition = baseline_condition or "_without_storage"
+
+        def building_series(bi, condition):
+            net = h["net"][:n, bi].astype(np.float64)
+            storage = (h["cooling_storage_cons"][:n, bi] + h["heating_storage_cons"][:n, bi]
+                       + h["dhw_storage_cons"][:n, bi] + h["battery_cons"][:n, bi]).astype(np.float64)
+            solar = h["solar"][:n, bi].astype(np.float64)
+            if condition == "":
+                base = net
+            elif condition in ("_without_storage", "_without_storage_and_partial_load"):
+                base = net - storage
+            elif condition.endswith("_and_pv"):
+                base = net - storage - solar
+            else:
+                raise ValueError(condition)
+            sl = slice(self.episode_tracker.episode_start_time_step,
+                       self.episode_tracker.episode_start_time_step + n)
+            b = self.spec.buildings[bi]
+            price = b.series["electricity_pricing"][sl].astype(np.float64)
+            carbon = b.series["carbon_intensity"][sl].astype(np.float64)
+            if condition == "":
+                cost = h["cost"][:n, bi].astype(np.float64)
+                emission = h["emission"][:n, bi].astype(np.float64)
+            else:
+                cost = base * price
+                emission = np.clip(base * carbon, 0, None)
+            return base, cost, emission
+
+        rows = []
+        for bi, b in enumerate(self.spec.buildings):
+            sl = slice(self.episode_tracker.episode_start_time_step,
+                       self.episode_tracker.episode_start_time_step + n)
+            band = (b.series["comfort_band"][sl] if comfort_band is None
+                    else np.full(n, comfort_band))
+            dis = kpi.discomfort_np(
+                h["indoor_temperature"][:n, bi],
+                b.series["indoor_dry_bulb_temperature_cooling_set_point"][sl],
+                b.series["indoor_dry_bulb_temperature_heating_set_point"][sl],
+                band, b.series["occupant_count"][sl])
+            net_c, cost_c, em_c = building_series(bi, control_condition)
+            net_b, cost_b, em_b = building_series(bi, baseline_condition)
+            carbon_sum = float(b.series["carbon_intensity"][sl].sum())
+            price_sum = float(b.series["electricity_pricing"][sl].sum())
+            expected = (b.series["cooling_demand"][sl] + b.series["heating_demand"][sl]
+                        + b.series["dhw_demand"][sl] + b.series["non_shiftable_load"][sl]
+                        ).astype(np.float64)
+            served = (h["cooling_demand_met"][:n, bi]
+                      + np.clip(-h["cooling_storage_balance"][:n, bi], 0, None)
+                      + h["heating_demand_met"][:n, bi]
+                      + np.clip(-h["heating_storage_balance"][:n, bi], 0, None)
+                      + h["dhw_demand_met"][:n, bi]
+                      + np.clip(-h["dhw_storage_balance"][:n, bi], 0, None)
+                      + h["non_shiftable_load_met"][:n, bi]).astype(np.float64)
+            outage = (b.series["power_outage"][sl] if b.simulate_power_outage
+                      else np.zeros(n))
+            vals = {
+                "electricity_consumption_total": kpi.safe_div(
+                    kpi.electricity_consumption_np(net_c), kpi.electricity_consumption_np(net_b)),
+                "zero_net_energy": kpi.safe_div(
+                    kpi.zero_net_energy_np(net_c), kpi.zero_net_energy_np(net_b)),
+                "carbon_emissions_total": kpi.safe_div(
+                    kpi.carbon_emissions_np(em_c),
+                    kpi.carbon_emissions_np(em_b) if carbon_sum != 0 else 0),
+                "cost_total": kpi.safe_div(
+                    kpi.cost_np(cost_c), kpi.cost_np(cost_b) if price_sum != 0 else 0),
+                "discomfort_proportion": dis[0],
+                "discomfort_cold_proportion": dis[1],
+                "discomfort_hot_proportion": dis[2],
+                "discomfort_cold_delta_minimum": dis[3],
+                "discomfort_cold_delta_maximum": dis[4],
+                "discomfort_cold_delta_average": dis[5],
+                "discomfort_hot_delta_minimum": dis[6],
+                "discomfort_hot_delta_maximum": dis[7],
+                "discomfort_hot_delta_average": dis[8],
+                "one_minus_thermal_resilience_proportion": kpi.one_minus_thermal_resilience_np(
+                    outage, indoor_t=h["indoor_temperature"][:n, bi],
+                    cooling_set_point=b.series["indoor_dry_bulb_temperature_cooling_set_point"][sl],
+                    heating_set_point=b.series["indoor_dry_bulb_temperature_heating_set_point"][sl],
+                    band=band, occupant_count=b.series["occupant_count"][sl]),
+                "power_outage_normalized_unserved_energy_total":
+                    kpi.normalized_unserved_energy_np(expected, served, outage),
+                "annual_normalized_unserved_energy_total":
+                    kpi.normalized_unserved_energy_np(expected, served),
+            }
+            for k, v in vals.items():
+                rows.append({"cost_function": k, "value": v, "name": b.name,
+                             "level": "building"})
+        building_level = pd.DataFrame(rows)
+
+        # district level. Quirk: the district series for the default control
+        # condition ('') is the env's *accumulated* per-step list — one entry
+        # per update_variables call, so it excludes the final unwritten index
+        # (length max(1, steps_taken)) — while counterfactual conditions are
+        # summed from building arrays of length t+1 (citylearn.py:645-700,
+        # 1888-1918). The control/baseline KPIs therefore see different
+        # series lengths; we reproduce that exactly.
+        def district_series(condition):
+            parts = [building_series(bi, condition)[0] for bi in range(len(self.spec.buildings))]
+            total = np.sum(parts, axis=0)
+            if condition == "":
+                return total[:max(1, self._t)]
+            return total
+
+        dc = district_series(control_condition)
+        db = district_series(baseline_condition)
+        district_rows = [
+            {"cost_function": "ramping_average",
+             "value": kpi.safe_div(kpi.ramping_np(dc), kpi.ramping_np(db))},
+            {"cost_function": "daily_one_minus_load_factor_average",
+             "value": kpi.safe_div(kpi.one_minus_load_factor_np(dc, 24),
+                                   kpi.one_minus_load_factor_np(db, 24))},
+            {"cost_function": "monthly_one_minus_load_factor_average",
+             "value": kpi.safe_div(kpi.one_minus_load_factor_np(dc, 730),
+                                   kpi.one_minus_load_factor_np(db, 730))},
+            {"cost_function": "daily_peak_average",
+             "value": kpi.safe_div(kpi.peak_np(dc, 24), kpi.peak_np(db, 24))},
+            {"cost_function": "all_time_peak_average",
+             "value": kpi.safe_div(kpi.peak_np(dc, self.time_steps),
+                                   kpi.peak_np(db, self.time_steps))},
+        ]
+        district_level = pd.DataFrame(district_rows)
+        district_level = pd.concat([district_level, building_level],
+                                   ignore_index=True, sort=False)
+        district_level = district_level.groupby(["cost_function"])[["value"]].mean().reset_index()
+        district_level["name"] = "District"
+        district_level["level"] = "district"
+        return pd.concat([district_level, building_level], ignore_index=True, sort=False)
+
+    def render(self):  # pragma: no cover - parity stub, CSV export in later round
+        pass
+
+    def close(self):
+        pass

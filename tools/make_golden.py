@@ -1,0 +1,119 @@
+"""Generate golden parity traces from the reference CityLearn (CPU).
+
+Runs the reference implementation at /root/reference on selected configs,
+recording returned observations, rewards, per-building series and final
+KPIs. Traces are stored as npz under tests/golden/ and loaded by
+tests/test_parity.py. Network access is stubbed (zero-egress sandbox).
+
+Usage: python tools/make_golden.py [--quick]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/reference")
+
+from citylearn.data import DataSet  # noqa: E402
+
+DataSet.get_pv_sizing_data = lambda self: pd.DataFrame()
+DataSet.get_battery_sizing_data = lambda self: pd.DataFrame()
+
+from citylearn.citylearn import CityLearnEnv  # noqa: E402
+
+DATASETS = "/root/reference/data/datasets"
+OUT = "/root/repo/tests/golden"
+
+
+def rollout(env, policy, n_steps=None):
+    obs, _ = env.reset()
+    observations = [[list(map(float, o)) for o in obs]]
+    rewards = []
+    steps = 0
+    while not env.terminated and (n_steps is None or steps < n_steps):
+        actions = policy(env, steps)
+        obs, r, term, trunc, _ = env.step(actions)
+        observations.append([list(map(float, o)) for o in obs])
+        rewards.append(list(map(float, r)))
+        steps += 1
+    return observations, rewards
+
+
+def zero_policy(env, step):
+    return [[0.0] * s.shape[0] for s in (env.action_space if not env.central_agent
+                                         else env.action_space)]
+
+
+def make_scripted_policy(seed):
+    rng = np.random.RandomState(seed)
+
+    def policy(env, step):
+        return [list(rng.uniform(-1, 1, s.shape[0]).astype(float))
+                for s in env.action_space]
+    return policy
+
+
+def record(name, schema, policy_name, episode_time_steps, central_agent=False,
+           seed=0):
+    env = CityLearnEnv(schema, central_agent=central_agent,
+                       episode_time_steps=episode_time_steps, random_seed=seed)
+    policy = {"zero": zero_policy, "scripted": make_scripted_policy(123)}[policy_name]
+    t0 = time.time()
+    observations, rewards = rollout(env, policy)
+    elapsed = time.time() - t0
+    kpis = env.evaluate()
+    per_building = {}
+    for b in env.buildings:
+        per_building[b.name] = {
+            "net": np.asarray(b.net_electricity_consumption, np.float64),
+            "soc": np.asarray(b.electrical_storage.soc, np.float64),
+            "battery_cons": np.asarray(b.electrical_storage.electricity_consumption, np.float64),
+            "solar": np.asarray(b.solar_generation, np.float64),
+        }
+    # observations is ragged only across agents; store as object -> flatten
+    obs_arr = np.asarray([np.concatenate([np.asarray(a, np.float64) for a in o])
+                          for o in observations])
+    rew_arr = np.asarray(rewards, np.float64)
+    np.savez_compressed(
+        f"{OUT}/{name}.npz",
+        observations=obs_arr,
+        rewards=rew_arr,
+        kpi_names=np.asarray([f"{r.level}|{r.name}|{r.cost_function}"
+                              for r in kpis.itertuples()]),
+        kpi_values=np.asarray([np.nan if r.value is None else float(r.value)
+                               for r in kpis.itertuples()]),
+        obs_names=np.asarray(["|".join(names) for names in env.observation_names]),
+        elapsed=np.asarray([elapsed]),
+        steps=np.asarray([len(rewards)]),
+        **{f"b_{k}_{f}": v for k, d in per_building.items() for f, v in d.items()},
+    )
+    steps_per_sec = len(rewards) / elapsed if elapsed > 0 else 0
+    print(f"{name}: {len(rewards)} steps in {elapsed:.2f}s "
+          f"({steps_per_sec:.0f} steps/s), KPIs={len(kpis)} rows")
+    return steps_per_sec
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args()
+
+    schema_2022 = f"{DATASETS}/citylearn_challenge_2022_phase_1/schema.json"
+    perf = {}
+    perf["p1_zero_168"] = record("phase1_zero_168", schema_2022, "zero", 168)
+    perf["p1_scripted_168"] = record("phase1_scripted_168", schema_2022, "scripted", 168)
+    perf["p1_scripted_central_168"] = record(
+        "phase1_scripted_central_168", schema_2022, "scripted", 168, central_agent=True)
+    if not args.quick:
+        perf["p1_zero_year"] = record("phase1_zero_year", schema_2022, "zero", None)
+        perf["p1_scripted_year"] = record("phase1_scripted_year", schema_2022, "scripted", None)
+    with open(f"{OUT}/reference_perf.json", "w") as f:
+        json.dump(perf, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
