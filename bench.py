@@ -1,0 +1,87 @@
+"""Throughput benchmark: vectorized district env steps per second per chip.
+
+Runs D vectorized district instances of citylearn_challenge_2022_phase_1
+(5 buildings, battery + PV) for a full year episode under jit with an
+in-graph hour-indexed RBC policy (BasicRBC battery map, reference
+agents/rbc.py:160-218) — policy + env fused in one XLA loop, zero host
+round-trips per step. One env-step = one district stepping once.
+
+Baseline denominator: the reference CityLearn's measured single-env CPU
+throughput (tests/golden/reference_perf.json via tools/make_golden.py).
+
+Prints ONE JSON line.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from citylearn_tpu.compiler.schema import compile_schema
+    from citylearn_tpu.core.params import pack
+    from citylearn_tpu.core.rollout import (
+        batched_initial_states,
+        hour_rbc_policy,
+        rollout_policy,
+    )
+
+    schema = "/root/reference/data/datasets/citylearn_challenge_2022_phase_1/schema.json"
+    spec = compile_schema(schema, random_seed=0)
+    cfg, params, _ = pack(spec)
+
+    D = int(os.environ.get("BENCH_DISTRICTS", "4096"))
+    S = cfg.time_steps - 1          # steps per episode (8759)
+    B = cfg.n_buildings
+
+    # BasicRBC storage map (rbc.py:160-218): charge 22:00-08:00, else discharge
+    table = np.full(24, -0.08, np.float32)
+    for h in list(range(22, 25)) + list(range(1, 9)):
+        table[h - 1] = 0.091
+    policy = hour_rbc_policy(jnp.asarray(table))
+
+    states = batched_initial_states(cfg, params, D)
+
+    def episode(params, state):
+        return rollout_policy(cfg, params, state, S, policy)
+
+    episode_fn = jax.jit(jax.vmap(episode, in_axes=(None, 0)))
+
+    out_state, result = episode_fn(params, states)
+    jax.block_until_ready(result["reward_sum"])     # compile + warm run
+
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out_state, result = episode_fn(params, states)
+        np.asarray(result["reward_sum"])            # force full materialization
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+
+    steps_per_sec = D * S / elapsed
+
+    baseline = None
+    perf_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tests/golden/reference_perf.json")
+    if os.path.exists(perf_path):
+        with open(perf_path) as f:
+            ref = json.load(f)
+        baseline = ref.get("p1_scripted_year") or ref.get("p1_scripted_168")
+
+    vs_baseline = steps_per_sec / baseline if baseline else None
+    print(json.dumps({
+        "metric": "env_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 1),
+        "unit": f"district-steps/s @ {D} vectorized districts x {B} buildings",
+        "vs_baseline": round(vs_baseline, 1) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -129,6 +129,7 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
         carbon_intensity=jnp.asarray(_stack(spec, "carbon_intensity")),
         power_outage=jnp.asarray(outage),
         hvac_mode=jnp.asarray(_stack(spec, "hvac_mode", np.int32)),
+        hour=jnp.asarray(_stack(spec, "hour", np.int32)),
     )
 
     f32 = lambda vals: jnp.asarray(np.asarray(vals, np.float32))

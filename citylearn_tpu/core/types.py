@@ -72,6 +72,7 @@ class SeriesData(struct.PyTreeNode):
     carbon_intensity: jnp.ndarray
     power_outage: jnp.ndarray
     hvac_mode: jnp.ndarray               # int32 (T, B)
+    hour: jnp.ndarray                    # int32 (T, B), 1-24 (drives RBC policies)
 
 
 class DistrictParams(struct.PyTreeNode):
