@@ -325,6 +325,50 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
         heating_storage = _resolve_storage_tank(hs_block, dev_seed("heating_storage", hs_block), time_step_ratio)
         dhw_storage = _resolve_storage_tank(ds_block, dev_seed("dhw_storage", ds_block), time_step_ratio)
 
+        # --- autosizing (reference building.py:2284-2404, energy_model.py
+        #     autosize methods) over the simulation range ------------------
+        sim_sl = slice(sim_start, sim_end + 1)
+        outdoor_t = series["outdoor_dry_bulb_temperature"][sim_sl]
+
+        def _autosize_hvac(block, dev: HVACDeviceSpec, demand_key: str, heating: bool):
+            if not (block or {}).get("autosize"):
+                return
+            kwargs = block.get("autosize_attributes") or {}
+            safety = kwargs.get("safety_factor")
+            safety = 1.0 if safety is None else float(safety)
+            demand = series[
+                {"cooling_device": "cooling_demand", "heating_device": "heating_demand",
+                 "dhw_device": "dhw_demand"}[demand_key]][sim_sl] * time_step_ratio
+            if dev.is_heat_pump:
+                from citylearn_tpu.compiler.spaces import heat_pump_cop_np
+                target = dev.target_heating_temperature if heating else dev.target_cooling_temperature
+                cop = heat_pump_cop_np(outdoor_t, dev.efficiency, target, heating)
+                dev.nominal_power = float(np.nanmax(np.asarray(demand) / cop) * safety)
+            else:
+                dev.nominal_power = float(np.nanmax(np.asarray(demand) / dev.efficiency) * safety)
+
+        def _autosize_tank(block, tank: StorageTankSpec, demand_key: str, seed):
+            if not (block or {}).get("autosize"):
+                return
+            kwargs = block.get("autosize_attributes") or {}
+            safety = seeding.resolve(kwargs.get("safety_factor"), (1.0, 2.0), seed)
+            demand = series[demand_key][sim_sl] * time_step_ratio
+            tank.capacity = float(np.nanmax(demand) * safety)
+
+        _autosize_hvac(cool_block, cooling_device, "cooling_device", False)
+        _autosize_hvac(heat_block, heating_device, "heating_device", True)
+        _autosize_hvac(dhw_block, dhw_device, "dhw_device", True)
+        _autosize_tank(cs_block, cooling_storage, "cooling_demand",
+                       dev_seed("cooling_storage", cs_block))
+        _autosize_tank(hs_block, heating_storage, "heating_demand",
+                       dev_seed("heating_storage", hs_block))
+        _autosize_tank(ds_block, dhw_storage, "dhw_demand",
+                       dev_seed("dhw_storage", ds_block))
+        if (bat_block or {}).get("autosize") or (pv_block or {}).get("autosize"):
+            raise NotImplementedError(
+                "battery/pv autosize requires sizing tables (reference "
+                "energy_model.py:1143-1226,491-602); not yet supported")
+
         # --- observation/action surface --------------------------------
         inactive_obs = b_schema.get("inactive_observations") or []
         inactive_act = b_schema.get("inactive_actions") or []

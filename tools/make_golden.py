@@ -102,6 +102,12 @@ def main():
     parser.add_argument("--quick", action="store_true")
     args = parser.parse_args()
 
+    schema_2021 = f"{DATASETS}/citylearn_challenge_2021/schema.json"
+    record("c2021_zero_168", schema_2021, "zero", 168)
+    record("c2021_scripted_168", schema_2021, "scripted", 168)
+    record("c2021_scripted_central_720", schema_2021, "scripted", 720,
+           central_agent=True)
+
     schema_2022 = f"{DATASETS}/citylearn_challenge_2022_phase_1/schema.json"
     perf = {}
     perf["p1_zero_168"] = record("phase1_zero_168", schema_2022, "zero", 168)
