@@ -22,9 +22,39 @@ from citylearn_tpu.compiler.spec import (
     BatterySpec,
     BuildingSpec,
     DistrictSpec,
+    DynamicsSpec,
     HVACDeviceSpec,
     StorageTankSpec,
 )
+
+
+def _load_dynamics(block: dict, root: str) -> DynamicsSpec:
+    """Parse an LSTM dynamics block and load its ``.pth`` weights
+    (reference ``citylearn.py:2216-2227``, ``dynamics.py:112-127``)."""
+    import torch
+
+    attrs = dict(block["attributes"])
+    path = os.path.join(root, attrs["filename"])
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    sd = raw.get("model_state_dict", raw) if isinstance(raw, dict) else raw
+    num_layers = int(attrs["num_layers"])
+    spec = DynamicsSpec(
+        input_observation_names=list(attrs["input_observation_names"]),
+        norm_min=np.asarray(attrs["input_normalization_minimum"], np.float32),
+        norm_max=np.asarray(attrs["input_normalization_maximum"], np.float32),
+        hidden_size=int(attrs["hidden_size"]),
+        num_layers=num_layers,
+        lookback=int(attrs["lookback"]),
+    )
+    for l in range(num_layers):
+        spec.w_ih.append(sd[f"l_lstm.weight_ih_l{l}"].numpy().astype(np.float32))
+        spec.w_hh.append(sd[f"l_lstm.weight_hh_l{l}"].numpy().astype(np.float32))
+        spec.bias.append((sd[f"l_lstm.bias_ih_l{l}"] + sd[f"l_lstm.bias_hh_l{l}"])
+                         .numpy().astype(np.float32))
+    spec.lin_w = sd["l_linear.weight"].numpy().astype(np.float32).reshape(-1)
+    spec.lin_b = float(sd["l_linear.bias"].numpy().reshape(())) \
+        if sd["l_linear.bias"].numel() == 1 else float(sd["l_linear.bias"].numpy()[0])
+    return spec
 from citylearn_tpu.compiler.spaces import estimate_action_space, estimate_observation_space_limits
 
 # CSV -> series field lists (reference citylearn/data.py:341-661)
@@ -379,6 +409,15 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
 
         power_outage_cfg = b_schema.get("power_outage") or {}
 
+        dynamics = None
+        if b_schema.get("dynamics") is not None and \
+                b_type.rsplit(".", 1)[-1] in ("LSTMDynamicsBuilding",
+                                              "DynamicsBuilding"):
+            dynamics = _load_dynamics(b_schema["dynamics"], root)
+        elif b_schema.get("dynamics") is not None:
+            raise NotImplementedError(
+                f"building type {b_type} with dynamics not yet supported")
+
         spec = BuildingSpec(
             name=b_name,
             index=b_index,
@@ -397,6 +436,8 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
             series=series,
             simulate_power_outage=bool(power_outage_cfg.get("simulate_power_outage", False)),
             stochastic_power_outage=bool(power_outage_cfg.get("stochastic_power_outage", False)),
+            stochastic_power_outage_model=power_outage_cfg.get("stochastic_power_outage_model"),
+            dynamics=dynamics,
         )
 
         lo, hi = estimate_observation_space_limits(spec, sim_start, sim_end)

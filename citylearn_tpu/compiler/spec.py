@@ -66,6 +66,25 @@ class StorageTankSpec:
 
 
 @dataclasses.dataclass
+class DynamicsSpec:
+    """LSTM temperature dynamics (reference ``citylearn/dynamics.py:15``),
+    weights loaded offline from the dataset ``.pth``."""
+    input_observation_names: List[str]
+    norm_min: np.ndarray                 # (F,)
+    norm_max: np.ndarray
+    hidden_size: int
+    num_layers: int
+    lookback: int
+    # torch state dict -> numpy: per layer weight_ih (4H, F|H), weight_hh
+    # (4H, H), bias (4H,) = bias_ih + bias_hh; head (H,), scalar bias
+    w_ih: List[np.ndarray] = dataclasses.field(default_factory=list)
+    w_hh: List[np.ndarray] = dataclasses.field(default_factory=list)
+    bias: List[np.ndarray] = dataclasses.field(default_factory=list)
+    lin_w: np.ndarray = None
+    lin_b: float = 0.0
+
+
+@dataclasses.dataclass
 class BuildingSpec:
     name: str
     index: int
@@ -90,6 +109,8 @@ class BuildingSpec:
 
     simulate_power_outage: bool = False
     stochastic_power_outage: bool = False
+    stochastic_power_outage_model: Optional[dict] = None
+    dynamics: Optional[DynamicsSpec] = None
 
 
 @dataclasses.dataclass

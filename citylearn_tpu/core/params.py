@@ -18,12 +18,16 @@ from citylearn_tpu.compiler.spaces import heat_pump_cop_np
 from citylearn_tpu.core.types import (
     BatteryParams,
     DistrictParams,
+    DynamicsParams,
     EnvState,
     HVACParams,
     SeriesData,
     StaticConfig,
     StorageTankParams,
 )
+
+PERIODIC_MAX = {"hour": 24, "day_type": 7, "month": 12, "minutes": 60}
+DYNAMIC_CHANNELS = ("indoor_dry_bulb_temperature", "cooling_demand", "heating_demand")
 
 # Observation names whose returned-at-t value is state-derived and therefore
 # *zero* at any index the step has not written yet (the reference returns
@@ -130,6 +134,13 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
         power_outage=jnp.asarray(outage),
         hvac_mode=jnp.asarray(_stack(spec, "hvac_mode", np.int32)),
         hour=jnp.asarray(_stack(spec, "hour", np.int32)),
+        indoor_dry_bulb_temperature=jnp.asarray(_stack(spec, "indoor_dry_bulb_temperature")),
+        indoor_dry_bulb_temperature_cooling_set_point=jnp.asarray(
+            _stack(spec, "indoor_dry_bulb_temperature_cooling_set_point")),
+        indoor_dry_bulb_temperature_heating_set_point=jnp.asarray(
+            _stack(spec, "indoor_dry_bulb_temperature_heating_set_point")),
+        comfort_band=jnp.asarray(_stack(spec, "comfort_band")),
+        occupant_count=jnp.asarray(_stack(spec, "occupant_count")),
     )
 
     f32 = lambda vals: jnp.asarray(np.asarray(vals, np.float32))
@@ -174,6 +185,8 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
             if name in b.active_observations:
                 obs_static[:, bi, ki] = _obs_series(b, name, sl)
 
+    dynamics, dyn_cfg = _pack_dynamics(spec, sl)
+
     params = DistrictParams(
         series=series,
         battery=battery,
@@ -184,6 +197,7 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
         heating_storage=tank_params(lambda b: b.heating_storage),
         dhw_storage=tank_params(lambda b: b.dhw_storage),
         obs_static=jnp.asarray(obs_static),
+        dynamics=dynamics,
     )
 
     episode_steps = spec.episode_time_steps
@@ -192,6 +206,11 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
     elif isinstance(episode_steps, list):
         episode_steps = episode_steps[0][1] - episode_steps[0][0] + 1
 
+    reward_block = spec.schema.get("reward_function") or {}
+    reward_type = (reward_block.get("type") or
+                   "citylearn.reward_function.RewardFunction").rsplit(".", 1)[-1]
+    reward_attrs = reward_block.get("attributes") or {}
+
     cfg = StaticConfig(
         n_buildings=B,
         time_steps=int(episode_steps),
@@ -199,8 +218,90 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
         seconds_per_time_step=spec.seconds_per_time_step,
         time_step_ratio=spec.time_step_ratio,
         simulate_power_outage=tuple(b.simulate_power_outage for b in spec.buildings),
+        reward_type=reward_type,
+        reward_exponent=float(reward_attrs.get("exponent") or 1.0),
+        reward_band=(None if reward_attrs.get("band") is None
+                     else float(reward_attrs["band"])),
+        reward_lower_exponent=float(reward_attrs.get("lower_exponent") or 2.0),
+        reward_higher_exponent=float(reward_attrs.get("higher_exponent") or 2.0),
+        reward_coefficients=tuple(reward_attrs.get("coefficients") or (1.0, 1.0)),
+        **dyn_cfg,
     )
     return cfg, params, layout
+
+
+def _pack_dynamics(spec: DistrictSpec, sl: slice):
+    """Stack per-building LSTM dynamics + precompute static input channels."""
+    dyn_specs = [b.dynamics for b in spec.buildings]
+    if all(d is None for d in dyn_specs):
+        return None, {}
+    assert all(d is not None for d in dyn_specs), \
+        "mixed dynamics/plain building districts not yet supported"
+    d0 = dyn_specs[0]
+    names = d0.input_observation_names
+    for d in dyn_specs:
+        assert (d.input_observation_names == names
+                and d.hidden_size == d0.hidden_size
+                and d.num_layers == d0.num_layers
+                and d.lookback == d0.lookback), \
+            "dynamics models must share shapes/channels for batched stepping"
+
+    B = len(spec.buildings)
+    F = len(names)
+    T = sl.stop - sl.start
+
+    def channel_series(b, name) -> np.ndarray:
+        if name in DYNAMIC_CHANNELS:
+            return np.zeros(T, np.float32)
+        for k, xmax in PERIODIC_MAX.items():
+            if name == f"{k}_sin":
+                return np.sin(2 * np.pi * b.series[k][sl] / xmax).astype(np.float32)
+            if name == f"{k}_cos":
+                return np.cos(2 * np.pi * b.series[k][sl] / xmax).astype(np.float32)
+        if name in b.series:
+            return b.series[name][sl].astype(np.float32)
+        raise NotImplementedError(f"dynamics input channel {name}")
+
+    static = np.zeros((T, B, F), np.float32)
+    for bi, b in enumerate(spec.buildings):
+        d = dyn_specs[bi]
+        for fi, name in enumerate(names):
+            if name in DYNAMIC_CHANNELS:
+                continue
+            v = channel_series(b, name)
+            lo, hi = d.norm_min[fi], d.norm_max[fi]
+            static[:, bi, fi] = (v - lo) / (hi - lo)
+
+    f32 = lambda arrs: jnp.asarray(np.stack(arrs).astype(np.float32))
+    dyn = DynamicsParams(
+        w_ih=tuple(f32([d.w_ih[l] for d in dyn_specs]) for l in range(d0.num_layers)),
+        w_hh=tuple(f32([d.w_hh[l] for d in dyn_specs]) for l in range(d0.num_layers)),
+        bias=tuple(f32([d.bias[l] for d in dyn_specs]) for l in range(d0.num_layers)),
+        lin_w=f32([d.lin_w for d in dyn_specs]),
+        lin_b=jnp.asarray(np.asarray([d.lin_b for d in dyn_specs], np.float32)),
+        norm_min=f32([d.norm_min for d in dyn_specs]),
+        norm_max=f32([d.norm_max for d in dyn_specs]),
+        static_channels=jnp.asarray(static),
+        cooling_device_active=jnp.asarray(
+            ["cooling_device" in b.active_actions for b in spec.buildings]),
+        heating_device_active=jnp.asarray(
+            ["heating_device" in b.active_actions for b in spec.buildings]),
+        cooling_or_heating_active=jnp.asarray(
+            ["cooling_or_heating_device" in b.active_actions for b in spec.buildings]),
+    )
+    dyn_cfg = dict(
+        has_dynamics=True,
+        lookback=d0.lookback,
+        num_layers=d0.num_layers,
+        hidden_size=d0.hidden_size,
+        n_dyn_channels=F,
+        dyn_temp_channel=names.index("indoor_dry_bulb_temperature"),
+        dyn_cooling_channel=(names.index("cooling_demand")
+                             if "cooling_demand" in names else -1),
+        dyn_heating_channel=(names.index("heating_demand")
+                             if "heating_demand" in names else -1),
+    )
+    return dyn, dyn_cfg
 
 
 def initial_state(cfg: StaticConfig, params: DistrictParams,
@@ -209,6 +310,13 @@ def initial_state(cfg: StaticConfig, params: DistrictParams,
     SOC index 0 = initial_soc, efficiency history truncated to its base,
     capacity history truncated to nominal capacity —
     ``building.py:2526-2564``, ``energy_model.py:797-803,1237-1242``)."""
+    B = params.battery.capacity.shape[0]
+    if cfg.has_dynamics:
+        lstm_h = jnp.zeros((cfg.num_layers, B, cfg.hidden_size), jnp.float32)
+        dyn_input = jnp.zeros((B, cfg.n_dyn_channels, cfg.lookback + 1), jnp.float32)
+    else:
+        lstm_h = jnp.zeros((0, B, 0), jnp.float32)
+        dyn_input = jnp.zeros((B, 0, 0), jnp.float32)
     return EnvState(
         t=jnp.asarray(0, jnp.int32),
         data_offset=jnp.asarray(data_offset, jnp.int32),
@@ -218,4 +326,7 @@ def initial_state(cfg: StaticConfig, params: DistrictParams,
         cooling_storage_soc=params.cooling_storage.initial_soc,
         heating_storage_soc=params.heating_storage.initial_soc,
         dhw_storage_soc=params.dhw_storage.initial_soc,
+        lstm_h=lstm_h,
+        lstm_c=lstm_h,
+        dyn_input=dyn_input,
     )

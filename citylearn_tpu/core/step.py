@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from citylearn_tpu.core import hvac
 from citylearn_tpu.core.battery import battery_charge
-from citylearn_tpu.core.reward import compute_reward
+from citylearn_tpu.core.dynamics import lstm_predict
+from citylearn_tpu.core.reward import RewardInputs, compute_reward
 from citylearn_tpu.core.storage import tank_charge
 from citylearn_tpu.core.types import (
     DistrictParams,
@@ -131,22 +132,25 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
 
     at = lambda arr: jnp.take(arr, tau, axis=0)  # (T, B) -> (B,)
     nsl = at(series.non_shiftable_load)
-    cooling_demand = at(series.cooling_demand)
-    heating_demand = at(series.heating_demand)
+    cooling_demand_ideal = at(series.cooling_demand)
+    heating_demand_ideal = at(series.heating_demand)
     dhw_demand = at(series.dhw_demand)
     solar_abs = at(series.solar_generation)
     outdoor_t = at(series.outdoor_dry_bulb_temperature)
     pricing = at(series.electricity_pricing)
     carbon = at(series.carbon_intensity)
     outage = at(series.power_outage) > 0.0
+    hvac_mode = at(series.hvac_mode)
+    temp_ideal = at(series.indoor_dry_bulb_temperature)
 
     # reset-time update_variables consumption already booked at index 0
-    # (building.py:2554-2558 prefill + 2618-2652). The heating branch uses
-    # the *dhw* device's input power when the heating device is not a heat
-    # pump (building.py:2629-2632) — shipped quirk.
-    reset_cool = hvac.input_power(params.cooling_device, cooling_demand, outdoor_t, False)
-    heat_in_hp = hvac.input_power(params.heating_device, heating_demand, outdoor_t, True)
-    heat_in_quirk = heating_demand / params.dhw_device.efficiency
+    # (building.py:2554-2558 prefill + 2618-2652): always computed from the
+    # *ideal* (prefilled) demand. The heating branch uses the *dhw* device's
+    # input power when the heating device is not a heat pump
+    # (building.py:2629-2632) — shipped quirk.
+    reset_cool = hvac.input_power(params.cooling_device, cooling_demand_ideal, outdoor_t, False)
+    heat_in_hp = hvac.input_power(params.heating_device, heating_demand_ideal, outdoor_t, True)
+    heat_in_quirk = heating_demand_ideal / params.dhw_device.efficiency
     reset_heat = jnp.where(params.heating_device.is_heat_pump, heat_in_hp, heat_in_quirk)
     reset_dhw = hvac.input_power(params.dhw_device, dhw_demand, outdoor_t, True)
     reset_nsl = nsl
@@ -157,6 +161,40 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     dev_init_heat = t0(reset_heat)
     dev_init_dhw = t0(reset_dhw)
     cons_accum = t0(reset_cool + reset_heat + reset_dhw + reset_nsl)
+
+    # ---- partial-load demand override for LSTM dynamics buildings
+    # (building.py:3080-3158): the device action sets available electric
+    # power; demand becomes the device's max output under that power,
+    # gated by hvac_mode; ideal load is maintained during the LSTM
+    # lookback warm-up (control starts once the input buffer is full,
+    # i.e. t >= lookback + 1). ----
+    cooling_demand = cooling_demand_ideal
+    heating_demand = heating_demand_ideal
+    if cfg.has_dynamics:
+        dyn = params.dynamics
+        control_warm = t >= cfg.lookback + 1
+        coh = actions.get("cooling_or_heating_device", zero)
+        cool_act = jnp.where(dyn.cooling_or_heating_active,
+                             jnp.abs(jnp.minimum(coh, 0.0)),
+                             actions.get("cooling_device", zero))
+        heat_act = jnp.where(dyn.cooling_or_heating_active,
+                             jnp.abs(jnp.maximum(coh, 0.0)),
+                             actions.get("heating_device", zero))
+        cool_active = dyn.cooling_device_active | dyn.cooling_or_heating_active
+        heat_active = dyn.heating_device_active | dyn.cooling_or_heating_active
+        elec_c = cool_act * params.cooling_device.nominal_power * hours_ratio
+        partial_c = hvac.max_output_power(params.cooling_device, outdoor_t, False,
+                                          elec_c, dev_init_cool)
+        partial_c = jnp.where((hvac_mode == 1) | (hvac_mode == 3), partial_c, 0.0)
+        cooling_demand = jnp.where(control_warm & cool_active, partial_c,
+                                   cooling_demand_ideal)
+        # heating uses no hours ratio (building.py:3146) — shipped quirk
+        elec_h = heat_act * params.heating_device.nominal_power
+        partial_h = hvac.max_output_power(params.heating_device, outdoor_t, True,
+                                          elec_h, dev_init_heat)
+        partial_h = jnp.where((hvac_mode == 2) | (hvac_mode == 3), partial_h, 0.0)
+        heating_demand = jnp.where(control_warm & heat_active, partial_h,
+                                   heating_demand_ideal)
 
     # ---- electrical storage, early variant (discharging runs first,
     # building.py:1606-1609) ----
@@ -237,6 +275,44 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     heat_store_cons = hvac.input_power(params.heating_device, heat.balance, outdoor_t, True)
     dhw_store_cons = hvac.input_power(params.dhw_device, dhw.balance, outdoor_t, True)
 
+    # ---- LSTM temperature dynamics (building.py:2935-3078) ----
+    # fresh demand observations (building.py:1435-1437)
+    cooling_demand_obs = cool.device_output + jnp.maximum(-cool.balance, 0.0)
+    heating_demand_obs = heat.device_output + jnp.maximum(-heat.balance, 0.0)
+    temp_t = temp_ideal
+    lstm_h, lstm_c, dyn_input = state.lstm_h, state.lstm_c, state.dyn_input
+    if cfg.has_dynamics:
+        dyn = params.dynamics
+        norm = lambda v, ch: ((v - dyn.norm_min[:, ch])
+                              / (dyn.norm_max[:, ch] - dyn.norm_min[:, ch]))
+        vals = jnp.take(dyn.static_channels, tau, axis=0)   # (B, F) pre-normalized
+        if cfg.dyn_cooling_channel >= 0:
+            vals = vals.at[:, cfg.dyn_cooling_channel].set(
+                norm(cooling_demand_obs, cfg.dyn_cooling_channel))
+        if cfg.dyn_heating_channel >= 0:
+            vals = vals.at[:, cfg.dyn_heating_channel].set(
+                norm(heating_demand_obs, cfg.dyn_heating_channel))
+        tc = cfg.dyn_temp_channel
+        vals = vals.at[:, tc].set(norm(temp_ideal, tc))
+        buf = jnp.concatenate([dyn_input[:, :, 1:], vals[:, :, None]], axis=2)
+
+        predict_warm = t >= cfg.lookback
+        # model input (building.py:3039-3055): all channels use the last
+        # `lookback` entries except indoor temperature which uses the
+        # first `lookback` (one step older)
+        main = buf[:, :, 1:]
+        model_in = main.at[:, tc, :].set(buf[:, tc, :-1])
+        model_in = jnp.swapaxes(model_in, 1, 2)             # (B, lookback, F)
+        pred_norm, h_new, c_new = lstm_predict(cfg, dyn, model_in, lstm_h, lstm_c)
+        buf = buf.at[:, tc, -1].set(
+            jnp.where(predict_warm, pred_norm, buf[:, tc, -1]))
+        pred_temp = pred_norm * (dyn.norm_max[:, tc] - dyn.norm_min[:, tc]) \
+            + dyn.norm_min[:, tc]
+        temp_t = jnp.where(predict_warm, pred_temp, temp_ideal)
+        lstm_h = jnp.where(predict_warm, h_new, lstm_h)
+        lstm_c = jnp.where(predict_warm, c_new, lstm_c)
+        dyn_input = buf
+
     new_state = state.replace(
         t=t + 1,
         battery_soc=bat_soc,
@@ -245,9 +321,30 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
         cooling_storage_soc=cool.soc,
         heating_storage_soc=heat.soc,
         dhw_storage_soc=dhw.soc,
+        lstm_h=lstm_h,
+        lstm_c=lstm_c,
+        dyn_input=dyn_input,
     )
 
-    reward = compute_reward(cfg, net=net, battery_soc=bat_soc, solar=solar_abs)
+    reward = compute_reward(cfg, RewardInputs(
+        net=net,
+        solar=solar_abs,
+        battery_soc=bat_soc,
+        cooling_storage_soc=cool.soc,
+        heating_storage_soc=heat.soc,
+        dhw_storage_soc=dhw.soc,
+        battery_capacity=params.battery.capacity,
+        cooling_storage_capacity=params.cooling_storage.capacity,
+        heating_storage_capacity=params.heating_storage.capacity,
+        dhw_storage_capacity=params.dhw_storage.capacity,
+        indoor_temperature=temp_t,
+        hvac_mode=hvac_mode,
+        cooling_set_point=at(series.indoor_dry_bulb_temperature_cooling_set_point),
+        heating_set_point=at(series.indoor_dry_bulb_temperature_heating_set_point),
+        comfort_band=at(series.comfort_band),
+        cooling_demand=cooling_demand_obs,
+        heating_demand=heating_demand_obs,
+    ))
 
     out = StepOutput(
         net_electricity_consumption=net,
@@ -275,5 +372,8 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
         heating_storage_balance=heat.balance,
         dhw_storage_balance=dhw.balance,
         battery_balance=bat_balance,
+        cooling_demand_actual=cooling_demand,
+        heating_demand_actual=heating_demand,
+        indoor_temperature=temp_t,
     )
     return new_state, out

@@ -73,6 +73,33 @@ class SeriesData(struct.PyTreeNode):
     power_outage: jnp.ndarray
     hvac_mode: jnp.ndarray               # int32 (T, B)
     hour: jnp.ndarray                    # int32 (T, B), 1-24 (drives RBC policies)
+    indoor_dry_bulb_temperature: jnp.ndarray          # ideal (without-control) temp
+    indoor_dry_bulb_temperature_cooling_set_point: jnp.ndarray
+    indoor_dry_bulb_temperature_heating_set_point: jnp.ndarray
+    comfort_band: jnp.ndarray
+    occupant_count: jnp.ndarray
+
+
+class DynamicsParams(struct.PyTreeNode):
+    """Stacked per-building LSTM temperature-dynamics weights
+    (reference ``citylearn/dynamics.py:15-127``; weights loaded offline from
+    the dataset ``.pth`` files). Layer axes: ``(B, 4H, F_in)`` torch gate
+    order i,f,g,o."""
+    w_ih: tuple                          # per layer: (B, 4H, F or H)
+    w_hh: tuple                          # per layer: (B, 4H, H)
+    bias: tuple                          # per layer: (B, 4H) = b_ih + b_hh
+    lin_w: jnp.ndarray                   # (B, H)
+    lin_b: jnp.ndarray                   # (B,)
+    norm_min: jnp.ndarray                # (B, F)
+    norm_max: jnp.ndarray                # (B, F)
+    # Pre-normalized data-driven channel values, (T, B, F); dynamic channels
+    # (cooling/heating demand, indoor temperature) are zero and overwritten
+    # in-graph each step.
+    static_channels: jnp.ndarray
+    # per-building action-availability masks for partial-load control
+    cooling_device_active: jnp.ndarray   # (B,) bool
+    heating_device_active: jnp.ndarray
+    cooling_or_heating_active: jnp.ndarray
 
 
 class DistrictParams(struct.PyTreeNode):
@@ -90,6 +117,7 @@ class DistrictParams(struct.PyTreeNode):
     # columns are zero (which matches the reference's returned-observation
     # semantics at t >= 1; see envs/environment.py).
     obs_static: jnp.ndarray
+    dynamics: Optional[DynamicsParams] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,6 +131,21 @@ class StaticConfig:
     simulate_power_outage: Tuple[bool, ...]   # per building
     reward_exponent: float = 1.0
     reward_type: str = "RewardFunction"
+    # ComfortReward parameters (reference reward_function.py:216-340)
+    reward_band: Optional[float] = None
+    reward_lower_exponent: float = 2.0
+    reward_higher_exponent: float = 2.0
+    reward_coefficients: Tuple[float, ...] = (1.0, 1.0)  # SolarPenaltyAndComfortReward weights
+    # LSTM dynamics (uniform across dynamics buildings; has_dynamics False
+    # for districts of plain buildings)
+    has_dynamics: bool = False
+    lookback: int = 0
+    num_layers: int = 0
+    hidden_size: int = 0
+    n_dyn_channels: int = 0
+    dyn_temp_channel: int = -1
+    dyn_cooling_channel: int = -1
+    dyn_heating_channel: int = -1
 
     @property
     def any_outage(self) -> bool:
@@ -119,6 +162,11 @@ class EnvState(struct.PyTreeNode):
     cooling_storage_soc: jnp.ndarray
     heating_storage_soc: jnp.ndarray
     dhw_storage_soc: jnp.ndarray
+    # LSTM dynamics carry: hidden/cell (L, B, H) and the normalized input
+    # ring buffer (B, F, lookback + 1); zero-sized when has_dynamics is False
+    lstm_h: jnp.ndarray = None
+    lstm_c: jnp.ndarray = None
+    dyn_input: jnp.ndarray = None
 
 
 class StepOutput(struct.PyTreeNode):
@@ -150,3 +198,8 @@ class StepOutput(struct.PyTreeNode):
     heating_storage_balance: jnp.ndarray
     dhw_storage_balance: jnp.ndarray
     battery_balance: jnp.ndarray
+    # controlled demand series (equals the data series for plain buildings,
+    # partial-load demand for LSTM dynamics buildings)
+    cooling_demand_actual: jnp.ndarray
+    heating_demand_actual: jnp.ndarray
+    indoor_temperature: jnp.ndarray      # predicted for dynamics buildings

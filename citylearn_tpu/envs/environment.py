@@ -186,7 +186,8 @@ class CityLearnEnv:
             "dhw_storage_cons", "battery_cons", "solar", "cooling_demand_met",
             "heating_demand_met", "dhw_demand_met", "non_shiftable_load_met",
             "cooling_storage_balance", "heating_storage_balance", "dhw_storage_balance",
-            "battery_soc", "indoor_temperature")}
+            "battery_soc", "indoor_temperature",
+            "cooling_demand_actual", "heating_demand_actual")}
         self._write_reset_row()
         return self.observations, self.get_info()
 
@@ -228,6 +229,8 @@ class CityLearnEnv:
             h["non_shiftable_load_met"][0, bi] = b.series["non_shiftable_load"][idx]
             h["battery_soc"][0, bi] = b.battery.initial_soc
             h["indoor_temperature"][0, bi] = b.series["indoor_dry_bulb_temperature"][idx]
+            h["cooling_demand_actual"][0, bi] = b.series["cooling_demand"][idx]
+            h["heating_demand_actual"][0, bi] = b.series["heating_demand"][idx]
 
     def _parse_actions(self, actions) -> dict:
         """Flat agent action lists -> name -> (B,) arrays
@@ -274,9 +277,9 @@ class CityLearnEnv:
         h["heating_storage_balance"][t] = out.heating_storage_balance
         h["dhw_storage_balance"][t] = out.dhw_storage_balance
         h["battery_soc"][t] = out.battery_soc
-        idx = self._offset + t + self.spec.simulation_start_time_step
-        for bi, b in enumerate(self.spec.buildings):
-            h["indoor_temperature"][t, bi] = b.series["indoor_dry_bulb_temperature"][idx]
+        h["indoor_temperature"][t] = out.indoor_temperature
+        h["cooling_demand_actual"][t] = out.cooling_demand_actual
+        h["heating_demand_actual"][t] = out.heating_demand_actual
 
         reward = [float(r) for r in np.asarray(out.reward)]
         self._rewards.append(reward)
@@ -372,25 +375,54 @@ class CityLearnEnv:
                 h["non_shiftable_load_met"][self._t, bi] = b.series["non_shiftable_load"][idx]
                 h["indoor_temperature"][self._t, bi] = \
                     b.series["indoor_dry_bulb_temperature"][idx]
+                h["cooling_demand_actual"][self._t, bi] = b.series["cooling_demand"][idx]
+                h["heating_demand_actual"][self._t, bi] = b.series["heating_demand"][idx]
+        # Default evaluation conditions depend on building type
+        # (citylearn.py:1194-1201): dynamics buildings normalize against the
+        # no-storage *and ideal-load* baseline.
+        has_dynamics = self.spec.buildings[0].dynamics is not None
         control_condition = control_condition or ""
-        baseline_condition = baseline_condition or "_without_storage"
+        if baseline_condition is None:
+            baseline_condition = ("_without_storage_and_partial_load"
+                                  if has_dynamics else "_without_storage")
 
         def building_series(bi, condition):
+            sl = slice(self.episode_tracker.episode_start_time_step,
+                       self.episode_tracker.episode_start_time_step + n)
+            b = self.spec.buildings[bi]
             net = h["net"][:n, bi].astype(np.float64)
             storage = (h["cooling_storage_cons"][:n, bi] + h["heating_storage_cons"][:n, bi]
                        + h["dhw_storage_cons"][:n, bi] + h["battery_cons"][:n, bi]).astype(np.float64)
             solar = h["solar"][:n, bi].astype(np.float64)
             if condition == "":
                 base = net
-            elif condition in ("_without_storage", "_without_storage_and_partial_load"):
+            elif condition.startswith("_without_storage"):
                 base = net - storage
-            elif condition.endswith("_and_pv"):
-                base = net - storage - solar
+                if "_and_partial_load" in condition:
+                    # DynamicsBuilding counterfactual (building.py:2876-2905):
+                    # add back the ideal-vs-partial load consumption delta.
+                    from citylearn_tpu.compiler.spaces import _hvac_input_power_np
+                    t_series = b.series["outdoor_dry_bulb_temperature"][sl].astype(np.float64)
+                    cool_diff = (b.series["cooling_demand"][sl].astype(np.float64)
+                                 - h["cooling_demand_actual"][:n, bi].astype(np.float64))
+                    base = base + _hvac_input_power_np(
+                        b.cooling_device, cool_diff, t_series, False)
+                    heat_diff = (b.series["heating_demand"][sl].astype(np.float64)
+                                 - h["heating_demand_actual"][:n, bi].astype(np.float64))
+                    if b.heating_device.is_heat_pump:
+                        # quirk: the reference uses the *scalar* outdoor
+                        # temperature at the current time step for the whole
+                        # heating series (building.py:2893-2897)
+                        t_now = float(b.series["outdoor_dry_bulb_temperature"][
+                            self.episode_tracker.episode_start_time_step + n - 1])
+                        base = base + _hvac_input_power_np(
+                            b.heating_device, heat_diff, t_now, True)
+                    else:
+                        base = base + heat_diff / b.dhw_device.efficiency
+                if condition.endswith("_and_pv"):
+                    base = base - solar
             else:
                 raise ValueError(condition)
-            sl = slice(self.episode_tracker.episode_start_time_step,
-                       self.episode_tracker.episode_start_time_step + n)
-            b = self.spec.buildings[bi]
             price = b.series["electricity_pricing"][sl].astype(np.float64)
             carbon = b.series["carbon_intensity"][sl].astype(np.float64)
             if condition == "":
@@ -416,7 +448,11 @@ class CityLearnEnv:
             net_b, cost_b, em_b = building_series(bi, baseline_condition)
             carbon_sum = float(b.series["carbon_intensity"][sl].sum())
             price_sum = float(b.series["electricity_pricing"][sl].sum())
-            expected = (b.series["cooling_demand"][sl] + b.series["heating_demand"][sl]
+            # expected energy uses the *controlled* demand series
+            # (citylearn.py:1214: b.cooling_demand is the mutated
+            # energy_simulation series, i.e. partial load for dynamics
+            # buildings)
+            expected = (h["cooling_demand_actual"][:n, bi] + h["heating_demand_actual"][:n, bi]
                         + b.series["dhw_demand"][sl] + b.series["non_shiftable_load"][sl]
                         ).astype(np.float64)
             served = (h["cooling_demand_met"][:n, bi]

@@ -52,7 +52,7 @@ def make_scripted_policy(seed):
     rng = np.random.RandomState(seed)
 
     def policy(env, step):
-        return [list(rng.uniform(-1, 1, s.shape[0]).astype(float))
+        return [list(rng.uniform(s.low, s.high).astype(float))
                 for s in env.action_space]
     return policy
 
@@ -101,6 +101,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
     args = parser.parse_args()
+
+    schema_2023 = f"{DATASETS}/citylearn_challenge_2023_phase_1/schema.json"
+    record("c2023_zero_168", schema_2023, "zero", 168)
+    record("c2023_scripted_168", schema_2023, "scripted", 168)
 
     schema_2021 = f"{DATASETS}/citylearn_challenge_2021/schema.json"
     record("c2021_zero_168", schema_2021, "zero", 168)
