@@ -70,6 +70,13 @@ def _obs_series(b: BuildingSpec, name: str, sl: slice) -> np.ndarray:
     n = sl.stop - sl.start if sl.stop is not None else len(s["hour"])
     if name in DERIVED_ZERO_OBSERVATIONS:
         return np.zeros(len(s["hour"][sl]), np.float32)
+    if name == "power_outage":
+        # obs reads the resolved signal (building.py:1458): zeros unless the
+        # CSV signal is simulated; stochastic signals are overridden at
+        # runtime by the adapter.
+        if b.simulate_power_outage and not b.stochastic_power_outage:
+            return s["power_outage"][sl]
+        return np.zeros(len(s["hour"][sl]), np.float32)
     if name == "solar_generation":
         return np.abs(b.pv_nominal_power * s["solar_generation"][sl] / 1000.0)
     if name == "cooling_device_efficiency":

@@ -177,6 +177,7 @@ class CityLearnEnv:
         self._offset = (self.episode_tracker.episode_start_time_step
                         - self.spec.simulation_start_time_step)
         self._t = 0
+        self._refresh_outage_signals()
         self._state = initial_state(self.cfg, self.params, self._offset)
         self._rewards = [[]]
         T = self.time_steps
@@ -190,6 +191,31 @@ class CityLearnEnv:
             "cooling_demand_actual", "heating_demand_actual")}
         self._write_reset_row()
         return self.observations, self.get_info()
+
+    def _refresh_outage_signals(self):
+        """Resolve per-episode outage signals (stochastic models re-sample
+        per reset in the reference, building.py:2566-2594 — with a fresh
+        RandomState(seed) each time, so the signal is identical every
+        episode) and bake them into the device-resident series."""
+        from citylearn_tpu.envs.outage import building_outage_signal
+        import jax.numpy as jnp
+
+        T_ep = self.episode_tracker.episode_time_steps
+        B = self.cfg.n_buildings
+        ep_slice = slice(self.episode_tracker.episode_start_time_step,
+                         self.episode_tracker.episode_end_time_step + 1)
+        self._outage_np = np.zeros((T_ep, B), np.float32)
+        for bi, b in enumerate(self.spec.buildings):
+            self._outage_np[:, bi] = building_outage_signal(
+                b, T_ep, self.spec.seconds_per_time_step, ep_slice)
+        if not any(b.simulate_power_outage and b.stochastic_power_outage
+                   for b in self.spec.buildings):
+            return
+        T_sim = self.spec.simulation_time_steps
+        full = np.zeros((T_sim, B), np.float32)
+        full[self._offset:self._offset + T_ep] = self._outage_np
+        self.params = self.params.replace(
+            series=self.params.series.replace(power_outage=jnp.asarray(full)))
 
     def _reset_consumptions(self, idx: int):
         """Reset-time ``update_variables`` values at absolute sim index
@@ -208,7 +234,8 @@ class CityLearnEnv:
                                              b.series["dhw_demand"][idx], t_out, True))
             nsl = float(b.series["non_shiftable_load"][idx])
             solar = -b.pv_nominal_power * float(b.series["solar_generation"][idx]) / 1000.0
-            outage = b.simulate_power_outage and b.series["power_outage"][idx] > 0
+            bi = b.index
+            outage = self._outage_np[0, bi] > 0
             net = 0.0 if outage else cool + heat + dhw + nsl + solar
             cools.append(cool); heats.append(heat); dhws.append(dhw)
             nsls.append(nsl); nets.append(net)
@@ -309,6 +336,10 @@ class CityLearnEnv:
         for bi, b in enumerate(self.spec.buildings):
             cols = self.layout.building_indices[bi]
             vals = row[bi, list(cols)].astype(np.float64)
+            if b.simulate_power_outage and b.stochastic_power_outage \
+                    and "power_outage" in b.active_observations:
+                vals[b.active_observations.index("power_outage")] = \
+                    self._outage_np[self._t, bi]
             if self._t == 0:
                 vals = self._apply_reset_corrections(bi, vals)
             per_building.append(list(vals))
@@ -462,8 +493,7 @@ class CityLearnEnv:
                       + h["dhw_demand_met"][:n, bi]
                       + np.clip(-h["dhw_storage_balance"][:n, bi], 0, None)
                       + h["non_shiftable_load_met"][:n, bi]).astype(np.float64)
-            outage = (b.series["power_outage"][sl] if b.simulate_power_outage
-                      else np.zeros(n))
+            outage = self._outage_np[:n, bi].astype(np.float64)
             vals = {
                 "electricity_consumption_total": kpi.safe_div(
                     kpi.electricity_consumption_np(net_c), kpi.electricity_consumption_np(net_b)),

@@ -106,6 +106,9 @@ def main():
     record("c2023_zero_168", schema_2023, "zero", 168)
     record("c2023_scripted_168", schema_2023, "scripted", 168)
 
+    schema_2023p2 = f"{DATASETS}/citylearn_challenge_2023_phase_2_local_evaluation/schema.json"
+    record("c2023p2_scripted_168", schema_2023p2, "scripted", 168)
+
     schema_2021 = f"{DATASETS}/citylearn_challenge_2021/schema.json"
     record("c2021_zero_168", schema_2021, "zero", 168)
     record("c2021_scripted_168", schema_2021, "scripted", 168)
