@@ -21,11 +21,75 @@ from citylearn_tpu.compiler.spec import (
     DEFAULT_COMFORT_BAND,
     BatterySpec,
     BuildingSpec,
+    ChargerSpec,
     DistrictSpec,
     DynamicsSpec,
+    ElectricVehicleSpec,
     HVACDeviceSpec,
     StorageTankSpec,
+    WashingMachineSpec,
 )
+
+# Order in which charger observations are appended to a building's
+# observation metadata (reference citylearn.py:2505-2537).
+CHARGER_OBS_EXPANSION = [
+    ("electric_vehicle_charger_connected_state",
+     "electric_vehicle_charger_{id}_connected_state"),
+    ("connected_electric_vehicle_at_charger_departure_time",
+     "connected_electric_vehicle_at_charger_{id}_departure_time"),
+    ("connected_electric_vehicle_at_charger_required_soc_departure",
+     "connected_electric_vehicle_at_charger_{id}_required_soc_departure"),
+    ("connected_electric_vehicle_at_charger_soc",
+     "connected_electric_vehicle_at_charger_{id}_soc"),
+    ("connected_electric_vehicle_at_charger_battery_capacity",
+     "connected_electric_vehicle_at_charger_{id}_battery_capacity"),
+    ("electric_vehicle_charger_incoming_state",
+     "electric_vehicle_charger_{id}_incoming_state"),
+    ("incoming_electric_vehicle_at_charger_estimated_arrival_time",
+     "incoming_electric_vehicle_at_charger_{id}_estimated_arrival_time"),
+    ("incoming_electric_vehicle_at_charger_estimated_soc_arrival",
+     "incoming_electric_vehicle_at_charger_{id}_estimated_soc_arrival"),
+]
+
+
+def _load_charger_sim(path: str, sim_start: int, sim_end: int,
+                      ev_name_to_index: dict, noise_std: float) -> dict:
+    """Parse a charger schedule CSV with the reference's normalization
+    (reference ``data.py:663-768``; noise_std is 0 in bundled datasets —
+    nonzero values would draw from the unseeded global RNG)."""
+    assert noise_std == 0.0, "charger schedule noise uses the global RNG (non-reproducible)"
+    df = pd.read_csv(path).iloc[sim_start:sim_end + 1]
+    # exact reference parse (data.py:724): int(str(s)) when isdigit else NaN
+    state = np.array([int(str(s)) if str(s).isdigit() else np.nan
+                      for s in df["electric_vehicle_charger_state"]], dtype=float)
+    ids = df["electric_vehicle_id"].astype(object).to_numpy()
+    cap = df["electric_vehicle_battery_capacity_khw"].to_numpy(dtype=float)
+    soc_now = df["current_soc"].to_numpy(dtype=float)
+    soc_now = np.where(np.isnan(soc_now), -0.1, soc_now)
+    current_soc = np.clip(soc_now / cap, 0, 1)
+    dep = df["electric_vehicle_departure_time"].to_numpy(dtype=float)
+    dep = np.where(np.isnan(dep), -1, dep).astype(int)
+    arr = df["electric_vehicle_estimated_arrival_time"].to_numpy(dtype=float)
+    arr = np.where(np.isnan(arr), -1, arr).astype(int)
+    req = df["electric_vehicle_required_soc_departure"].to_numpy(dtype=float)
+    req = np.where(np.isnan(req), -0.1, req)
+    req = np.where(req != -0.1, np.clip(req / 100.0, 0, 1), req)
+    est = df["electric_vehicle_estimated_soc_arrival"].to_numpy(dtype=float)
+    est = np.where(np.isnan(est), -0.1, est)
+    est = np.where(est != -0.1, np.clip(est / 100.0, 0, 1), est)
+
+    def resolve_ids(want_state):
+        out = np.full(len(df), -1, np.int32)
+        for i, (s, ev_id) in enumerate(zip(state, ids)):
+            if s == want_state and isinstance(ev_id, str) \
+                    and ev_id.strip() not in ("", "nan") and ev_id in ev_name_to_index:
+                out[i] = ev_name_to_index[ev_id]
+        return out
+
+    return dict(state=state, ids=ids, connected_ev=resolve_ids(1),
+                incoming_ev=resolve_ids(2), capacity_kwh=cap,
+                current_soc=current_soc, departure_time=dep, required_soc=req,
+                arrival_time=arr, estimated_soc_arrival=est)
 
 
 def _load_dynamics(block: dict, root: str) -> DynamicsSpec:
@@ -268,10 +332,27 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
     rolling = bool(get("rolling_episode_split", False))
     random_split = bool(get("random_episode_split", False))
 
-    obs_schema = schema["observations"]
-    act_schema = schema["actions"]
+    # split charger/washing-machine helper entries out of the base obs/action
+    # schema (reference citylearn.py:2010-2030); they expand per charger/WM.
+    raw_obs = schema["observations"]
+    raw_act = schema["actions"]
+    charger_obs_helper = {k: v for k, v in raw_obs.items() if "electric_vehicle_" in k}
+    wm_obs_helper = {k: v for k, v in raw_obs.items() if "washing_machine_" in k}
+    charger_act_helper = {k: v for k, v in raw_act.items() if "electric_vehicle_" in k}
+    wm_act_helper = {k: v for k, v in raw_act.items() if "washing_machine" in k}
+    obs_schema = {k: v for k, v in raw_obs.items()
+                  if k not in charger_obs_helper and k not in wm_obs_helper}
+    act_schema = {k: v for k, v in raw_act.items()
+                  if k not in charger_act_helper and k not in wm_act_helper}
     shared_observations = [k for k, v in obs_schema.items()
                            if v.get("shared_in_central_agent", False)]
+
+    # electric vehicles (reference citylearn.py:2095-2098, 2558-2594);
+    # batteries resolved after the building loop once time_step_ratio is known
+    ev_defs = [(name, ev_schema) for name, ev_schema in
+               (schema.get("electric_vehicles_def") or {}).items()
+               if ev_schema.get("include", True)]
+    ev_name_to_index = {name: i for i, (name, _) in enumerate(ev_defs)}
 
     cache: Dict[str, pd.DataFrame] = {}
     buildings: List[BuildingSpec] = []
@@ -399,6 +480,49 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
                 "battery/pv autosize requires sizing tables (reference "
                 "energy_model.py:1143-1226,491-602); not yet supported")
 
+        # --- chargers + washing machines --------------------------------
+        chargers: List[ChargerSpec] = []
+        for charger_name, charger_cfg in (b_schema.get("chargers") or {}).items():
+            attrs = charger_cfg.get("attributes") or {}
+            if attrs.get("charge_efficiency_curve") or attrs.get("discharge_efficiency_curve"):
+                raise NotImplementedError("charger efficiency curves not yet supported")
+            sim = _load_charger_sim(
+                os.path.join(root, charger_cfg["charger_simulation"]),
+                sim_start, sim_end, ev_name_to_index,
+                float(charger_cfg.get("noise_std", 0.0)))
+            chargers.append(ChargerSpec(
+                charger_id=charger_name,
+                building_index=b_index,
+                efficiency=float(attrs.get("efficiency") or 1.0),
+                max_charging_power=float(attrs["max_charging_power"]
+                                         if attrs.get("max_charging_power") is not None else 50.0),
+                min_charging_power=float(attrs.get("min_charging_power") or 0.0),
+                max_discharging_power=float(attrs["max_discharging_power"]
+                                            if attrs.get("max_discharging_power") is not None else 50.0),
+                min_discharging_power=float(attrs.get("min_discharging_power") or 0.0),
+                state=sim["state"], connected_ev=sim["connected_ev"],
+                incoming_ev=sim["incoming_ev"], capacity_kwh=sim["capacity_kwh"],
+                current_soc=sim["current_soc"], departure_time=sim["departure_time"],
+                required_soc=sim["required_soc"], arrival_time=sim["arrival_time"],
+                estimated_soc_arrival=sim["estimated_soc_arrival"]))
+
+        washing_machines: List[WashingMachineSpec] = []
+        for wm_name, wm_cfg in (b_schema.get("washing_machines") or {}).items():
+            wdf = pd.read_csv(os.path.join(root, wm_cfg["washing_machine_energy_simulation"]))
+            start_arr = wdf["wm_start_time_step"].to_numpy(dtype=float)
+            end_arr = wdf["wm_end_time_step"].to_numpy(dtype=float)
+            profiles = []
+            for lp in wdf["load_profile"]:
+                try:
+                    profiles.append(np.array(eval(str(lp)), dtype=float))
+                except Exception:
+                    profiles.append(np.array([], dtype=float))
+            washing_machines.append(WashingMachineSpec(
+                name=wm_name, building_index=b_index,
+                wm_start=np.where(np.isnan(start_arr), -1, start_arr).astype(int)[sim_start:sim_end + 1],
+                wm_end=np.where(np.isnan(end_arr), -1, end_arr).astype(int)[sim_start:sim_end + 1],
+                load_profiles=profiles[sim_start:sim_end + 1]))
+
         # --- observation/action surface --------------------------------
         inactive_obs = b_schema.get("inactive_observations") or []
         inactive_act = b_schema.get("inactive_actions") or []
@@ -406,6 +530,27 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
                                if v.get("active", False) and k not in inactive_obs]
         active_actions = [k for k, v in act_schema.items()
                           if v.get("active", False) and k not in inactive_act]
+        # per-charger / per-WM expansion (reference citylearn.py:2505-2553)
+        for ch in chargers:
+            for helper_key, template in CHARGER_OBS_EXPANSION:
+                v = charger_obs_helper.get(helper_key)
+                if v and v.get("active", False) \
+                        and helper_key not in inactive_obs:
+                    active_observations.append(template.format(id=ch.charger_id))
+            v = charger_act_helper.get("electric_vehicle_storage")
+            if v and v.get("active", False) \
+                    and "electric_vehicle_storage" not in inactive_act:
+                active_actions.append(f"electric_vehicle_storage_{ch.charger_id}")
+        for wm in washing_machines:
+            v = wm_obs_helper.get("washing_machine_start_time_step")
+            if v and v.get("active", False):
+                active_observations.append(f"{wm.name}_start_time_step")
+            v = wm_obs_helper.get("washing_machine_end_time_step")
+            if v and v.get("active", False):
+                active_observations.append(f"{wm.name}_end_time_step")
+            v = wm_act_helper.get("washing_machine")
+            if v and v.get("active", False):
+                active_actions.append(wm.name)
 
         power_outage_cfg = b_schema.get("power_outage") or {}
 
@@ -438,6 +583,8 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
             stochastic_power_outage=bool(power_outage_cfg.get("stochastic_power_outage", False)),
             stochastic_power_outage_model=power_outage_cfg.get("stochastic_power_outage_model"),
             dynamics=dynamics,
+            chargers=chargers,
+            washing_machines=washing_machines,
         )
 
         lo, hi = estimate_observation_space_limits(spec, sim_start, sim_end)
@@ -446,10 +593,23 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
         buildings.append(spec)
         b_index += 1
 
+    electric_vehicles: List[ElectricVehicleSpec] = []
+    for i, (ev_name, ev_schema) in enumerate(ev_defs):
+        attrs = dict(ev_schema["battery"]["attributes"])
+        # reference defaults: initial_soc random.uniform(0,1) (global RNG,
+        # non-reproducible — we use 0.5) and depth_of_discharge 0.10
+        # (citylearn.py:2562-2575); battery seeded with the schema's seed.
+        if attrs.get("initial_soc") is None:
+            attrs["initial_soc"] = 0.5
+        attrs.setdefault("depth_of_discharge", 0.10)
+        bat = _resolve_battery({"attributes": attrs}, schema_random_seed, time_step_ratio)
+        electric_vehicles.append(ElectricVehicleSpec(name=ev_name, index=i, battery=bat))
+
     return DistrictSpec(
         schema=schema,
         dataset_dir=root,
         buildings=buildings,
+        electric_vehicles=electric_vehicles,
         central_agent=central_agent,
         random_seed=random_seed,
         seconds_per_time_step=seconds_per_time_step,

@@ -148,6 +148,21 @@ def estimate_observation_space_limits(
             high[key] = b.battery.nominal_power
         elif key == "power_outage":
             low[key], high[key] = 0.0, 1.0
+        # EV charger / washing machine expansions (building.py:1968-2010)
+        elif "connected_state" in key or "_incoming_state" in key:
+            low[key], high[key] = 0.0, 1.0
+        elif "_departure_time" in key or "_estimated_arrival_time" in key:
+            low[key], high[key] = -1.0, 24.0
+        elif "_soc" in key and "_electric_vehicle" in key:
+            low[key], high[key] = -0.1, 1.0
+        elif "charger" in key:
+            for ch in b.chargers:
+                if key == f"connected_electric_vehicle_at_charger_{ch.charger_id}_battery_capacity":
+                    low[key], high[key] = -1.0, 100.0
+        elif "washing_machine" in key:
+            for wm in b.washing_machines:
+                if key in (f"{wm.name}_start_time_step", f"{wm.name}_end_time_step"):
+                    low[key], high[key] = -1.0, 24.0
         else:
             low[key] = float(np.min(data[key]))
             high[key] = float(np.max(data[key]))
@@ -169,6 +184,16 @@ def estimate_action_space(b: "spec_mod.BuildingSpec", start: int, end: int
         elif key in ("cooling_device", "heating_device"):
             low.append(0.0)
             high.append(1.0)
+        elif "electric_vehicle_storage" in key:
+            for ch in b.chargers:
+                if key == f"electric_vehicle_storage_{ch.charger_id}":
+                    low.append(0.0 if ch.max_discharging_power == 0 else -1.0)
+                    high.append(1.0)
+        elif "washing_machine" in key:
+            for wm in b.washing_machines:
+                if key == wm.name:
+                    low.append(0.0)
+                    high.append(1.0)
         elif "storage" in key:
             if key == "electrical_storage":
                 limit = 1.0

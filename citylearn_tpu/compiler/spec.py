@@ -85,6 +85,49 @@ class DynamicsSpec:
 
 
 @dataclasses.dataclass
+class ChargerSpec:
+    """EV charger + its charger-centric schedule (reference
+    ``citylearn/electric_vehicle_charger.py:10``, ``data.py:663``).
+    Data arrays cover the simulation range and are indexed episode-relative
+    (the reference never re-windows charger data; ``citylearn.py:2286``)."""
+    charger_id: str
+    building_index: int
+    efficiency: float = 1.0
+    max_charging_power: float = 50.0
+    min_charging_power: float = 0.0
+    max_discharging_power: float = 50.0
+    min_discharging_power: float = 0.0
+    # schedule arrays, (T,)
+    state: np.ndarray = None                 # float, NaN allowed
+    connected_ev: np.ndarray = None          # int32 EV index when state==1, else -1
+    incoming_ev: np.ndarray = None           # int32 EV index when state==2, else -1
+    capacity_kwh: np.ndarray = None
+    current_soc: np.ndarray = None
+    departure_time: np.ndarray = None        # int
+    required_soc: np.ndarray = None
+    arrival_time: np.ndarray = None          # int
+    estimated_soc_arrival: np.ndarray = None
+
+
+@dataclasses.dataclass
+class WashingMachineSpec:
+    """Deferrable-load washing machine (reference ``energy_model.py:1244``)."""
+    name: str
+    building_index: int
+    wm_start: np.ndarray = None              # (T,) int
+    wm_end: np.ndarray = None
+    load_profiles: list = None               # list of np arrays per step
+
+
+@dataclasses.dataclass
+class ElectricVehicleSpec:
+    """EV wrapping a battery (reference ``citylearn/electric_vehicle.py:12``)."""
+    name: str
+    index: int
+    battery: "BatterySpec" = None
+
+
+@dataclasses.dataclass
 class BuildingSpec:
     name: str
     index: int
@@ -111,6 +154,8 @@ class BuildingSpec:
     stochastic_power_outage: bool = False
     stochastic_power_outage_model: Optional[dict] = None
     dynamics: Optional[DynamicsSpec] = None
+    chargers: List["ChargerSpec"] = dataclasses.field(default_factory=list)
+    washing_machines: List["WashingMachineSpec"] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -128,6 +173,7 @@ class DistrictSpec:
     rolling_episode_split: bool
     random_episode_split: bool
     shared_observations: List[str]
+    electric_vehicles: List["ElectricVehicleSpec"] = dataclasses.field(default_factory=list)
 
     @property
     def simulation_time_steps(self) -> int:

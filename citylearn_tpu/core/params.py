@@ -17,13 +17,16 @@ from citylearn_tpu.compiler.spec import BuildingSpec, DistrictSpec
 from citylearn_tpu.compiler.spaces import heat_pump_cop_np
 from citylearn_tpu.core.types import (
     BatteryParams,
+    ChargerParams,
     DistrictParams,
     DynamicsParams,
     EnvState,
+    EVParams,
     HVACParams,
     SeriesData,
     StaticConfig,
     StorageTankParams,
+    WashingMachineParams,
 )
 
 PERIODIC_MAX = {"hour": 24, "day_type": 7, "month": 12, "minutes": 60}
@@ -187,12 +190,26 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
     layout = build_obs_layout(spec)
     T = spec.simulation_time_steps
     obs_static = np.zeros((T, B, len(layout.union_names)), np.float32)
+    ev_obs_cols = _ev_obs_columns(spec, T)
     for bi, b in enumerate(spec.buildings):
         for ki, name in enumerate(layout.union_names):
-            if name in b.active_observations:
+            if name not in b.active_observations:
+                continue
+            if (bi, name) in ev_obs_cols:
+                col = ev_obs_cols[(bi, name)]
+                obs_static[:len(col), bi, ki] = col[:T]
+            else:
                 obs_static[:, bi, ki] = _obs_series(b, name, sl)
 
+    episode_steps = spec.episode_time_steps
+    if episode_steps is None:
+        episode_steps = spec.simulation_time_steps
+    elif isinstance(episode_steps, list):
+        episode_steps = episode_steps[0][1] - episode_steps[0][0] + 1
+    episode_steps = int(episode_steps)
+
     dynamics, dyn_cfg = _pack_dynamics(spec, sl)
+    chargers, evs, wms, ev_cfg = _pack_evs(spec, episode_steps)
 
     params = DistrictParams(
         series=series,
@@ -205,13 +222,10 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
         dhw_storage=tank_params(lambda b: b.dhw_storage),
         obs_static=jnp.asarray(obs_static),
         dynamics=dynamics,
+        chargers=chargers,
+        evs=evs,
+        washing_machines=wms,
     )
-
-    episode_steps = spec.episode_time_steps
-    if episode_steps is None:
-        episode_steps = spec.simulation_time_steps
-    elif isinstance(episode_steps, list):
-        episode_steps = episode_steps[0][1] - episode_steps[0][0] + 1
 
     reward_block = spec.schema.get("reward_function") or {}
     reward_type = (reward_block.get("type") or
@@ -233,8 +247,150 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
         reward_higher_exponent=float(reward_attrs.get("higher_exponent") or 2.0),
         reward_coefficients=tuple(reward_attrs.get("coefficients") or (1.0, 1.0)),
         **dyn_cfg,
+        **ev_cfg,
     )
     return cfg, params, layout
+
+
+def _ev_obs_columns(spec: DistrictSpec, T: int):
+    """Data-driven values for per-charger / per-WM observation columns
+    (reference ``building.py:1221-1331``). The SOC column holds the value
+    visible at *observation* time: the forced arrival SOC when an EV just
+    (re)connected, else the reference's stale 0.0."""
+    from citylearn_tpu.compiler.events import resolve_ev_events
+
+    cols = {}
+    n_evs = len(spec.electric_vehicles)
+    any_chargers = any(b.chargers for b in spec.buildings)
+    force = None
+    if any_chargers and n_evs:
+        force, _ = resolve_ev_events(spec.buildings, n_evs, T,
+                                     drift_seed=spec.random_seed)
+    for bi, b in enumerate(spec.buildings):
+        for ch in b.chargers:
+            cid = ch.charger_id
+            conn = ch.connected_ev >= 0
+            inc = ch.incoming_ev >= 0
+            n = len(conn)
+            soc_col = np.full(n, -0.1, np.float32)
+            if force is not None:
+                f = force[np.arange(min(n, len(force))),
+                          np.clip(ch.connected_ev[:len(force)], 0, None)]
+                soc_vis = np.where(np.isfinite(f), f, 0.0)
+                soc_col[:len(f)] = np.where(conn[:len(f)], soc_vis, -0.1)
+            cols[(bi, f"electric_vehicle_charger_{cid}_connected_state")] = \
+                conn.astype(np.float32)
+            cols[(bi, f"connected_electric_vehicle_at_charger_{cid}_departure_time")] = \
+                np.where(conn, ch.departure_time, -1).astype(np.float32)
+            cols[(bi, f"connected_electric_vehicle_at_charger_{cid}_required_soc_departure")] = \
+                np.where(conn, ch.required_soc, -0.1).astype(np.float32)
+            cols[(bi, f"connected_electric_vehicle_at_charger_{cid}_soc")] = soc_col
+            cols[(bi, f"connected_electric_vehicle_at_charger_{cid}_battery_capacity")] = \
+                np.where(conn, ch.capacity_kwh, -1.0).astype(np.float32)
+            cols[(bi, f"electric_vehicle_charger_{cid}_incoming_state")] = \
+                inc.astype(np.float32)
+            cols[(bi, f"incoming_electric_vehicle_at_charger_{cid}_estimated_arrival_time")] = \
+                np.where(inc, ch.arrival_time, -1).astype(np.float32)
+            cols[(bi, f"incoming_electric_vehicle_at_charger_{cid}_estimated_soc_arrival")] = \
+                np.where(inc, ch.estimated_soc_arrival, -0.1).astype(np.float32)
+        for wm in b.washing_machines:
+            cols[(bi, f"{wm.name}_start_time_step")] = wm.wm_start.astype(np.float32)
+            cols[(bi, f"{wm.name}_end_time_step")] = wm.wm_end.astype(np.float32)
+    return cols
+
+
+def _pack_evs(spec: DistrictSpec, episode_steps: int):
+    """Stack chargers/EVs/washing machines + precompile SOC event tensors."""
+    from citylearn_tpu.compiler.events import resolve_ev_events
+
+    all_chargers = [ch for b in spec.buildings for ch in b.chargers]
+    all_wms = [wm for b in spec.buildings for wm in b.washing_machines]
+    n_evs = len(spec.electric_vehicles)
+    cfg = dict(has_evs=len(all_chargers) > 0,
+               has_washing_machines=len(all_wms) > 0,
+               n_chargers=len(all_chargers), n_evs=n_evs,
+               n_washing_machines=len(all_wms))
+    reward_block = spec.schema.get("reward_function") or {}
+    weights = (reward_block.get("attributes") or {}).get("weights")
+    if weights:
+        cfg["ev_reward_weights"] = (
+            float(weights.get("no_car_charging", -5.0)),
+            float(weights.get("battery_limits", -2.0)),
+            float(weights.get("soc_impossible", -10.0)),
+            float(weights.get("soc_under", -5.0)),
+            float(weights.get("close_soc", 10.0)),
+            float(weights.get("self_ev_consumption", 5.0)),
+            float(weights.get("extra_self_production", 5.0)))
+
+    chargers = evs = wms = None
+    f32 = lambda vals: jnp.asarray(np.asarray(vals, np.float32))
+    if all_chargers:
+        def sched(field):
+            # pad/trim schedule arrays to the episode length (indexed by
+            # episode-relative t, like the reference's un-windowed data)
+            cols = []
+            for ch in all_chargers:
+                a = np.asarray(getattr(ch, field), np.float32)
+                if len(a) < episode_steps:
+                    a = np.pad(a, (0, episode_steps - len(a)), constant_values=-1)
+                cols.append(a[:episode_steps])
+            return jnp.asarray(np.stack(cols, axis=1))
+
+        chargers = ChargerParams(
+            efficiency=f32([ch.efficiency for ch in all_chargers]),
+            max_charging_power=f32([ch.max_charging_power for ch in all_chargers]),
+            min_charging_power=f32([ch.min_charging_power for ch in all_chargers]),
+            max_discharging_power=f32([ch.max_discharging_power for ch in all_chargers]),
+            min_discharging_power=f32([ch.min_discharging_power for ch in all_chargers]),
+            building_index=jnp.asarray([ch.building_index for ch in all_chargers],
+                                       jnp.int32),
+            connected_ev=sched("connected_ev").astype(jnp.int32),
+            departure_time=sched("departure_time"),
+            required_soc=sched("required_soc"),
+            capacity_kwh=sched("capacity_kwh"),
+        )
+        force, drift = resolve_ev_events(spec.buildings, n_evs, episode_steps,
+                                         drift_seed=spec.random_seed)
+        bat = lambda get: f32([get(e.battery) for e in spec.electric_vehicles])
+        evs = EVParams(
+            battery=BatteryParams(
+                capacity=bat(lambda b: b.capacity),
+                nominal_power=bat(lambda b: b.nominal_power),
+                efficiency=bat(lambda b: b.efficiency),
+                loss_coefficient=bat(lambda b: b.loss_coefficient),
+                initial_soc=bat(lambda b: b.initial_soc),
+                depth_of_discharge=bat(lambda b: b.depth_of_discharge),
+                capacity_loss_coefficient=bat(lambda b: b.capacity_loss_coefficient),
+                power_efficiency_curve_x=bat(lambda b: b.power_efficiency_curve_x),
+                power_efficiency_curve_y=bat(lambda b: b.power_efficiency_curve_y),
+                capacity_power_curve_x=bat(lambda b: b.capacity_power_curve_x),
+                capacity_power_curve_y=bat(lambda b: b.capacity_power_curve_y),
+            ),
+            force_soc=jnp.asarray(force),
+            drift_mult=jnp.asarray(drift),
+        )
+    if all_wms:
+        starts, ends, loads = [], [], []
+        for wm in all_wms:
+            s = np.asarray(wm.wm_start, np.int32)[:episode_steps]
+            e = np.asarray(wm.wm_end, np.int32)[:episode_steps]
+            tl = np.zeros(episode_steps, np.float32)
+            for t in range(min(episode_steps, len(wm.load_profiles))):
+                profile = wm.load_profiles[t]
+                # reference energy_model.py:1327-1330: only entries whose
+                # (unused) target step fits the episode are added — and all
+                # of them land on the trigger step
+                profile = np.atleast_1d(profile)
+                n_fit = max(0, min(len(profile), episode_steps - t))
+                tl[t] = float(np.sum(profile[:n_fit]))
+            starts.append(s); ends.append(e); loads.append(tl)
+        wms = WashingMachineParams(
+            building_index=jnp.asarray([wm.building_index for wm in all_wms], jnp.int32),
+            wm_start=jnp.asarray(np.stack(starts, axis=1)),
+            wm_end=jnp.asarray(np.stack(ends, axis=1)),
+            triggered_load=jnp.asarray(np.stack(loads, axis=1)),
+        )
+    return chargers, evs, wms, cfg
 
 
 def _pack_dynamics(spec: DistrictSpec, sl: slice):
@@ -318,6 +474,13 @@ def initial_state(cfg: StaticConfig, params: DistrictParams,
     capacity history truncated to nominal capacity —
     ``building.py:2526-2564``, ``energy_model.py:797-803,1237-1242``)."""
     B = params.battery.capacity.shape[0]
+    if cfg.has_evs:
+        ev_soc = params.evs.battery.initial_soc
+        ev_eff = params.evs.battery.efficiency
+        ev_deg = params.evs.battery.capacity
+    else:
+        ev_soc = ev_eff = ev_deg = jnp.zeros((0,), jnp.float32)
+    wm_initiated = jnp.zeros((cfg.n_washing_machines,), bool)
     if cfg.has_dynamics:
         lstm_h = jnp.zeros((cfg.num_layers, B, cfg.hidden_size), jnp.float32)
         dyn_input = jnp.zeros((B, cfg.n_dyn_channels, cfg.lookback + 1), jnp.float32)
@@ -336,4 +499,8 @@ def initial_state(cfg: StaticConfig, params: DistrictParams,
         lstm_h=lstm_h,
         lstm_c=lstm_h,
         dyn_input=dyn_input,
+        ev_soc=ev_soc,
+        ev_efficiency=ev_eff,
+        ev_degraded_capacity=ev_deg,
+        wm_initiated=wm_initiated,
     )

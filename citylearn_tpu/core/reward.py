@@ -6,8 +6,9 @@ i.e. from the just-written index-t values — ``citylearn.py:1022-1023``).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from citylearn_tpu.core.types import StaticConfig
@@ -49,10 +50,12 @@ def _independent_sac(cfg: StaticConfig, x: RewardInputs) -> jnp.ndarray:
 
 
 def _marl(cfg: StaticConfig, x: RewardInputs) -> jnp.ndarray:
-    """``sign(net) * 0.01 * net^2 * max(0, -district_net)``
-    (reward_function.py:120-143)."""
+    """``sign(-net) * 0.01 * net^2 * max(0, district_net)``
+    (reward_function.py:132-143: building consumption is negated before the
+    sign, and the district term is the *positive* total)."""
     district = jnp.sum(x.net)
-    return jnp.sign(x.net) * 0.01 * (x.net ** 2) * jnp.maximum(0.0, -district)
+    neg = -x.net
+    return jnp.sign(neg) * 0.01 * (neg ** 2) * jnp.maximum(0.0, district)
 
 
 def _solar_penalty(cfg: StaticConfig, x: RewardInputs) -> jnp.ndarray:
@@ -102,6 +105,75 @@ def _comfort(cfg: StaticConfig, x: RewardInputs) -> jnp.ndarray:
     return jnp.where((mode == 1) | (mode == 2), r_single, r_dual)
 
 
+class EVRewardInputs(NamedTuple):
+    """Per-charger (C,) arrays for ``Electric_Vehicles_Reward_Function``
+    (reference ``reward_function.py:389-517``), all at index t."""
+    building_index: jnp.ndarray          # (C,) int32
+    connected: jnp.ndarray               # bool
+    last_charged_kwh: jnp.ndarray        # past_charging_action_values_kwh[t]
+    soc_prev: jnp.ndarray
+    soc_now: jnp.ndarray
+    capacity: jnp.ndarray                # EV model battery capacity
+    depth_of_discharge: jnp.ndarray
+    required_soc: jnp.ndarray
+    hours_until_departure: jnp.ndarray
+    max_charging_power: jnp.ndarray
+    max_discharging_power: jnp.ndarray
+
+
+def _ev_reward(cfg: StaticConfig, x: RewardInputs, ev: EVRewardInputs) -> jnp.ndarray:
+    """The EV reward *replaces* the MARL base with per-charger shaping —
+    the MARL value only scales the penalty via ``1/(1+|r|)``; buildings
+    without chargers receive 0 (``reward_function.py:413-445``). The
+    disconnected-charger 'no_car_charging' term is computed then discarded
+    by the reference's early ``continue`` (``reward_function.py:459-463``)
+    — reproduced by contributing nothing for disconnected chargers."""
+    (w_ncc, w_bl, w_imposs, w_under, w_close, w_sc, w_esp) = cfg.ev_reward_weights
+    marl = _marl(cfg, x)                       # (B,)
+    if cfg.central_agent:
+        base = jnp.sum(marl)
+        mult_b = jnp.full_like(marl, 1.0 / (1.0 + jnp.abs(base)))
+    else:
+        mult_b = 1.0 / (1.0 + jnp.abs(marl))
+    mult = mult_b[ev.building_index]           # (C,)
+
+    net_b = x.net[ev.building_index]
+    cap = ev.capacity
+    min_cap = (1.0 - ev.depth_of_discharge) * cap
+    last = ev.last_charged_kwh
+    current_energy = ev.soc_prev * cap + last
+    c_bl = jnp.where((current_energy > cap) | (current_energy < min_cap),
+                     w_bl * mult, 0.0)
+
+    soc_diff = ev.soc_now - ev.required_soc
+    soc_diff_kwh = soc_diff * cap
+    hours = ev.hours_until_departure
+    mpc = ev.max_charging_power * hours
+    mpd = ev.max_discharging_power * hours
+    c_imposs = jnp.where(soc_diff_kwh > mpc, w_imposs * mult, 0.0)
+    at_dep = hours == 0
+    c_under = jnp.where(
+        at_dep & (-0.25 < soc_diff) & (soc_diff <= -0.10), 2 * w_under * mult,
+        jnp.where(at_dep & (soc_diff <= -0.25), (w_under ** 2) * mult, 0.0))
+    c_close = jnp.where(at_dep & (-0.10 < soc_diff) & (soc_diff <= 0.10),
+                        w_close * mult, 0.0)
+    c_close = c_close + jnp.where(
+        jnp.abs(soc_diff_kwh) <= jnp.maximum(mpc, mpd),
+        w_close * mult * (1.0 / (hours + 0.1)), 0.0)
+    c_esp = jnp.where((last > 0) & (net_b < 0), w_esp * mult,
+                      jnp.where((last < 0) & (net_b < 0), -0.5 * w_esp * mult, 0.0))
+    c_sc = jnp.where((last < 0) & (net_b > 0), w_sc * mult,
+                     jnp.where((last > 0) & (net_b > 0), -0.5 * w_sc * mult, 0.0))
+
+    per_charger = jnp.where(
+        ev.connected, c_bl + c_imposs + c_under + c_close + c_esp + c_sc, 0.0)
+    reward = jax.ops.segment_sum(per_charger, ev.building_index,
+                                 num_segments=x.net.shape[0])
+    if cfg.central_agent:
+        return jnp.sum(reward, keepdims=True)
+    return reward
+
+
 _REGISTRY = {
     "RewardFunction": _default,
     "IndependentSACReward": _independent_sac,
@@ -111,8 +183,12 @@ _REGISTRY = {
 }
 
 
-def compute_reward(cfg: StaticConfig, x: RewardInputs) -> jnp.ndarray:
+def compute_reward(cfg: StaticConfig, x: RewardInputs,
+                   ev: Optional[EVRewardInputs] = None) -> jnp.ndarray:
     """Dispatch on ``cfg.reward_type``; central agent sums to shape (1,)."""
+    if cfg.reward_type == "Electric_Vehicles_Reward_Function":
+        assert ev is not None, "EV reward requires charger inputs"
+        return _ev_reward(cfg, x, ev)
     if cfg.reward_type == "SolarPenaltyAndComfortReward":
         c = cfg.reward_coefficients
         r = c[0] * _solar_penalty(cfg, x) + c[1] * _comfort(cfg, x)

@@ -26,12 +26,13 @@ from __future__ import annotations
 
 from typing import Dict, NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from citylearn_tpu.core import hvac
 from citylearn_tpu.core.battery import battery_charge
 from citylearn_tpu.core.dynamics import lstm_predict
-from citylearn_tpu.core.reward import RewardInputs, compute_reward
+from citylearn_tpu.core.reward import EVRewardInputs, RewardInputs, compute_reward
 from citylearn_tpu.core.storage import tank_charge
 from citylearn_tpu.core.types import (
     DistrictParams,
@@ -240,6 +241,93 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     bat_eff = pickb(bat_early.efficiency, bat_late.efficiency)
     bat_degraded = pickb(bat_early.degraded_capacity, bat_late.degraded_capacity)
 
+    # ---- EV chargers (electric_vehicle_charger.py:283-329 + the offline
+    # event tensors from compiler/events.py) ----
+    B = nsl.shape[0]
+    chargers_cons_b = jnp.zeros_like(nsl)
+    ev_soc_new = state.ev_soc
+    ev_eff_new = state.ev_efficiency
+    ev_deg_new = state.ev_degraded_capacity
+    charger_energy = None
+    charger_applied = None
+    charger_soc_now = None
+    charger_soc_prev = None
+    if cfg.has_evs:
+        ch = params.chargers
+        evp = params.evs
+        force = jnp.take(evp.force_soc, t, axis=0)        # (V,) episode-relative
+        drift = jnp.take(evp.drift_mult, t, axis=0)
+        base = jnp.where(is_t0, evp.battery.initial_soc, 0.0)
+        soc_evented = jnp.where(
+            jnp.isfinite(force), force,
+            jnp.where(jnp.isfinite(drift),
+                      jnp.clip(state.ev_soc * drift, 0.0, 1.0), base))
+        # Battery.charge reads soc[t-1], except at t == 0 where it reads the
+        # (possibly force-set) soc[0] (energy_model.py:662-666,1046-1047)
+        soc_read = jnp.where(is_t0, soc_evented, state.ev_soc)
+
+        a = actions.get("electric_vehicle_storage", jnp.zeros(cfg.n_chargers))
+        charging = a > 0.0
+        e_chg = jnp.maximum(jnp.minimum(a * ch.max_charging_power * hours_ratio,
+                                        ch.max_charging_power), ch.min_charging_power)
+        e_dis = jnp.maximum(jnp.minimum(a * ch.max_discharging_power * hours_ratio,
+                                        -ch.min_discharging_power), -ch.max_discharging_power)
+        energy = jnp.where(charging, e_chg, e_dis)
+        eff = ch.efficiency
+        energy_kwh = jnp.where(charging, energy * eff, energy / eff)
+
+        conn = jnp.take(ch.connected_ev, t, axis=0)       # (C,)
+        connected = conn >= 0
+        gidx = jnp.clip(conn, 0, None)
+        gather = lambda arr: jnp.take(arr, gidx, axis=0)
+        bp_c = jax.tree_util.tree_map(gather, evp.battery)
+        # EV battery charge is called with energy_kwh directly — no
+        # _convert_energy_for_storage pre-division (charger.py:316)
+        res = battery_charge(bp_c, gather(soc_read),
+                             gather(state.ev_efficiency),
+                             gather(state.ev_degraded_capacity),
+                             energy_kwh, 1.0)
+        applied = (a != 0.0) & connected
+        balance = jnp.where(applied, res.energy_balance, 0.0)
+        cons_c = jnp.where(applied,
+                           jnp.where(balance >= 0.0, balance / eff, balance * eff),
+                           0.0)
+        charger_energy = jnp.where(a != 0.0, energy, 0.0)  # past_charging_action kWh
+        charger_applied = applied
+        charger_soc_prev = jnp.where(is_t0, gather(evp.battery.initial_soc),
+                                     gather(state.ev_soc))
+        # scatter only the applied charges: unapplied chargers use an
+        # out-of-range index so their (stale) values are dropped instead of
+        # colliding on EV 0 via the clipped -1 index
+        sidx = jnp.where(applied, gidx, cfg.n_evs)
+        ev_soc_new = soc_evented.at[sidx].set(res.soc, mode="drop")
+        ev_eff_new = state.ev_efficiency.at[sidx].set(res.efficiency, mode="drop")
+        ev_deg_new = state.ev_degraded_capacity.at[sidx].set(
+            res.degraded_capacity, mode="drop")
+        charger_soc_now = ev_soc_new[gidx]
+        chargers_cons_b = jax.ops.segment_sum(cons_c, ch.building_index,
+                                              num_segments=B)
+
+    # ---- washing machines (energy_model.py:1289-1334) ----
+    wm_cons_b = jnp.zeros_like(nsl)
+    wm_initiated_new = state.wm_initiated
+    if cfg.has_washing_machines:
+        wmp = params.washing_machines
+        a_wm = actions.get("washing_machine", jnp.zeros(cfg.n_washing_machines))
+        start = jnp.take(wmp.wm_start, t, axis=0)
+        end = jnp.take(wmp.wm_end, t, axis=0)
+        prev_i = jnp.maximum(t - 1, 0)
+        changed = (t > 0) & (
+            (jnp.take(wmp.wm_start, prev_i, axis=0) != start)
+            | (jnp.take(wmp.wm_end, prev_i, axis=0) != end))
+        initiated = state.wm_initiated & ~changed
+        trigger = (~initiated & (a_wm > 0.0) & (start != -1) & (end != -1)
+                   & (start <= t) & (t <= end))
+        wm_cons_w = jnp.where(trigger, jnp.take(wmp.triggered_load, t, axis=0), 0.0)
+        wm_initiated_new = initiated | trigger
+        wm_cons_b = jax.ops.segment_sum(wm_cons_w, wmp.building_index,
+                                        num_segments=B)
+
     # ---- update_variables accounting (building.py:2615-2703) ----
     # apply-phase totals per device
     cool_cons = cool.apply_consumption
@@ -264,7 +352,8 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     bat_total = bat_cons + t0(bat_balance)
 
     solar_neg = -solar_abs
-    net = (cool_total + heat_total + dhw_total + nsl_total + bat_total + solar_neg)
+    net = (cool_total + heat_total + dhw_total + nsl_total + bat_total + solar_neg
+           + chargers_cons_b + wm_cons_b)
     net = jnp.where(outage, 0.0, net)
     cost = net * pricing
     emission = jnp.maximum(0.0, net * carbon)
@@ -324,9 +413,33 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
         lstm_h=lstm_h,
         lstm_c=lstm_c,
         dyn_input=dyn_input,
+        ev_soc=ev_soc_new,
+        ev_efficiency=ev_eff_new,
+        ev_degraded_capacity=ev_deg_new,
+        wm_initiated=wm_initiated_new,
     )
 
-    reward = compute_reward(cfg, RewardInputs(
+    ev_reward_inputs = None
+    if cfg.has_evs and cfg.reward_type == "Electric_Vehicles_Reward_Function":
+        ch = params.chargers
+        evp = params.evs
+        conn = jnp.take(ch.connected_ev, t, axis=0)
+        gidx = jnp.clip(conn, 0, None)
+        ev_reward_inputs = EVRewardInputs(
+            building_index=ch.building_index,
+            connected=conn >= 0,
+            last_charged_kwh=charger_energy,
+            soc_prev=charger_soc_prev,
+            soc_now=charger_soc_now,
+            capacity=jnp.take(evp.battery.capacity, gidx),
+            depth_of_discharge=jnp.take(evp.battery.depth_of_discharge, gidx),
+            required_soc=jnp.take(ch.required_soc, t, axis=0),
+            hours_until_departure=jnp.take(ch.departure_time, t, axis=0),
+            max_charging_power=ch.max_charging_power,
+            max_discharging_power=ch.max_discharging_power,
+        )
+
+    reward = compute_reward(cfg, ev=ev_reward_inputs, x=RewardInputs(
         net=net,
         solar=solar_abs,
         battery_soc=bat_soc,
@@ -375,5 +488,8 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
         cooling_demand_actual=cooling_demand,
         heating_demand_actual=heating_demand,
         indoor_temperature=temp_t,
+        chargers_consumption=chargers_cons_b,
+        washing_machines_consumption=wm_cons_b,
+        ev_soc=ev_soc_new,
     )
     return new_state, out

@@ -102,6 +102,46 @@ class DynamicsParams(struct.PyTreeNode):
     cooling_or_heating_active: jnp.ndarray
 
 
+class ChargerParams(struct.PyTreeNode):
+    """EV chargers stacked over a district-wide charger axis ``C``
+    (reference ``electric_vehicle_charger.py``); schedule tensors are
+    episode-relative ``(T, C)`` like the reference's un-windowed charger
+    data."""
+    efficiency: jnp.ndarray              # (C,)
+    max_charging_power: jnp.ndarray
+    min_charging_power: jnp.ndarray
+    max_discharging_power: jnp.ndarray
+    min_discharging_power: jnp.ndarray
+    building_index: jnp.ndarray          # (C,) int32
+    connected_ev: jnp.ndarray            # (T, C) int32, -1 when none
+    departure_time: jnp.ndarray          # (T, C) float
+    required_soc: jnp.ndarray            # (T, C)
+    capacity_kwh: jnp.ndarray            # (T, C)
+
+
+class EVParams(struct.PyTreeNode):
+    """Electric vehicles stacked over ``V`` (reference
+    ``electric_vehicle.py``), plus the precompiled SOC event tensors
+    (see ``compiler/events.py``)."""
+    battery: "BatteryParams"             # (V,) leaves
+    force_soc: jnp.ndarray               # (T, V) float, NaN = no event
+    drift_mult: jnp.ndarray              # (T, V) float, NaN = no drift
+
+
+class WashingMachineParams(struct.PyTreeNode):
+    """Washing machines stacked over ``W`` (reference
+    ``energy_model.py:1244-1398``). ``triggered_load[t]`` is the full
+    truncated load-profile sum applied at the trigger step — the
+    reference's scatter loop adds every profile entry to the *current*
+    step (``energy_model.py:1327-1330``, the ``step`` variable is only
+    bounds-checked), a shipped quirk that collapses the cycle onto the
+    trigger step."""
+    building_index: jnp.ndarray          # (W,) int32
+    wm_start: jnp.ndarray                # (T, W) int32
+    wm_end: jnp.ndarray
+    triggered_load: jnp.ndarray          # (T, W) float
+
+
 class DistrictParams(struct.PyTreeNode):
     """Everything the jitted step consumes (HBM-resident)."""
     series: SeriesData
@@ -118,6 +158,9 @@ class DistrictParams(struct.PyTreeNode):
     # semantics at t >= 1; see envs/environment.py).
     obs_static: jnp.ndarray
     dynamics: Optional[DynamicsParams] = None
+    chargers: Optional[ChargerParams] = None
+    evs: Optional[EVParams] = None
+    washing_machines: Optional[WashingMachineParams] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -139,6 +182,13 @@ class StaticConfig:
     # LSTM dynamics (uniform across dynamics buildings; has_dynamics False
     # for districts of plain buildings)
     has_dynamics: bool = False
+    has_evs: bool = False
+    has_washing_machines: bool = False
+    n_chargers: int = 0
+    n_evs: int = 0
+    n_washing_machines: int = 0
+    # Electric_Vehicles_Reward_Function weights (reward_function.py:396-407)
+    ev_reward_weights: Tuple[float, ...] = (-5.0, -2.0, -10.0, -5.0, 10.0, 5.0, 5.0)
     lookback: int = 0
     num_layers: int = 0
     hidden_size: int = 0
@@ -167,6 +217,12 @@ class EnvState(struct.PyTreeNode):
     lstm_h: jnp.ndarray = None
     lstm_c: jnp.ndarray = None
     dyn_input: jnp.ndarray = None
+    # EV + washing machine carry ((V,) / (V,) / (V,) / (W,)); zero-sized
+    # when the district has none
+    ev_soc: jnp.ndarray = None           # soc[t-1] entering the step
+    ev_efficiency: jnp.ndarray = None
+    ev_degraded_capacity: jnp.ndarray = None
+    wm_initiated: jnp.ndarray = None     # bool
 
 
 class StepOutput(struct.PyTreeNode):
@@ -203,3 +259,6 @@ class StepOutput(struct.PyTreeNode):
     cooling_demand_actual: jnp.ndarray
     heating_demand_actual: jnp.ndarray
     indoor_temperature: jnp.ndarray      # predicted for dynamics buildings
+    chargers_consumption: jnp.ndarray    # (B,)
+    washing_machines_consumption: jnp.ndarray  # (B,)
+    ev_soc: jnp.ndarray                  # (V,) soc at t after events + charges

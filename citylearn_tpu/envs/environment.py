@@ -188,7 +188,8 @@ class CityLearnEnv:
             "heating_demand_met", "dhw_demand_met", "non_shiftable_load_met",
             "cooling_storage_balance", "heating_storage_balance", "dhw_storage_balance",
             "battery_soc", "indoor_temperature",
-            "cooling_demand_actual", "heating_demand_actual")}
+            "cooling_demand_actual", "heating_demand_actual",
+            "chargers_cons", "wm_cons")}
         self._write_reset_row()
         return self.observations, self.get_info()
 
@@ -259,11 +260,34 @@ class CityLearnEnv:
             h["cooling_demand_actual"][0, bi] = b.series["cooling_demand"][idx]
             h["heating_demand_actual"][0, bi] = b.series["heating_demand"][idx]
 
+    @property
+    def _charger_action_slots(self):
+        if not hasattr(self, "_charger_slots_cache"):
+            slots = {}
+            c = 0
+            for b in self.spec.buildings:
+                for ch in b.chargers:
+                    slots[f"electric_vehicle_storage_{ch.charger_id}"] = c
+                    c += 1
+            wslots = {}
+            w = 0
+            for b in self.spec.buildings:
+                for wm in b.washing_machines:
+                    wslots[wm.name] = w
+                    w += 1
+            self._charger_slots_cache = (slots, wslots)
+        return self._charger_slots_cache
+
     def _parse_actions(self, actions) -> dict:
-        """Flat agent action lists -> name -> (B,) arrays
+        """Flat agent action lists -> name -> (B,)/(C,)/(W,) arrays
         (reference citylearn.py:1063-1134)."""
         B = self.cfg.n_buildings
         out = {k: np.zeros(B, np.float32) for k in STORAGE_ACTIONS + DEVICE_ACTIONS}
+        ch_slots, wm_slots = self._charger_action_slots
+        if self.cfg.has_evs:
+            out["electric_vehicle_storage"] = np.zeros(self.cfg.n_chargers, np.float32)
+        if self.cfg.has_washing_machines:
+            out["washing_machine"] = np.zeros(self.cfg.n_washing_machines, np.float32)
         if self.central_agent:
             flat = list(np.asarray(actions[0]).ravel())
             per_building = []
@@ -278,7 +302,12 @@ class CityLearnEnv:
             assert len(acts) == len(b.active_actions), (
                 f"expected {len(b.active_actions)} actions for {b.name}, got {len(acts)}")
             for name, val in zip(b.active_actions, acts):
-                out[name][bi] = val
+                if name in ch_slots:
+                    out["electric_vehicle_storage"][ch_slots[name]] = val
+                elif name in wm_slots:
+                    out["washing_machine"][wm_slots[name]] = val
+                else:
+                    out[name][bi] = val
         return out
 
     def step(self, actions) -> Tuple[List[List[float]], List[float], bool, bool, dict]:
@@ -307,6 +336,8 @@ class CityLearnEnv:
         h["indoor_temperature"][t] = out.indoor_temperature
         h["cooling_demand_actual"][t] = out.cooling_demand_actual
         h["heating_demand_actual"][t] = out.heating_demand_actual
+        h["chargers_cons"][t] = out.chargers_consumption
+        h["wm_cons"][t] = out.washing_machines_consumption
 
         reward = [float(r) for r in np.asarray(out.reward)]
         self._rewards.append(reward)
@@ -422,8 +453,10 @@ class CityLearnEnv:
                        self.episode_tracker.episode_start_time_step + n)
             b = self.spec.buildings[bi]
             net = h["net"][:n, bi].astype(np.float64)
+            # without_storage subtracts charger consumption too (building.py:360-366)
             storage = (h["cooling_storage_cons"][:n, bi] + h["heating_storage_cons"][:n, bi]
-                       + h["dhw_storage_cons"][:n, bi] + h["battery_cons"][:n, bi]).astype(np.float64)
+                       + h["dhw_storage_cons"][:n, bi] + h["battery_cons"][:n, bi]
+                       + h["chargers_cons"][:n, bi]).astype(np.float64)
             solar = h["solar"][:n, bi].astype(np.float64)
             if condition == "":
                 base = net

@@ -25,6 +25,12 @@ DataSet.get_battery_sizing_data = lambda self: pd.DataFrame()
 
 from citylearn.citylearn import CityLearnEnv  # noqa: E402
 
+# EVs without an initial_soc draw from the *unseeded* `random` module
+# (citylearn.py:2564) — pin to the midpoint (0.5 for (0,1)) to match the
+# rebuild's documented deterministic default.
+import citylearn.citylearn as _cl_mod  # noqa: E402
+_cl_mod.random.uniform = lambda a, b: (a + b) / 2
+
 DATASETS = "/root/reference/data/datasets"
 OUT = "/root/repo/tests/golden"
 
@@ -62,6 +68,9 @@ def record(name, schema, policy_name, episode_time_steps, central_agent=False,
     env = CityLearnEnv(schema, central_agent=central_agent,
                        episode_time_steps=episode_time_steps, random_seed=seed)
     policy = {"zero": zero_policy, "scripted": make_scripted_policy(123)}[policy_name]
+    # seed the global RNG so the unconnected-EV SOC drift (citylearn.py:1473,
+    # drawn from np.random) matches our seeded replication stream
+    np.random.seed(seed)
     t0 = time.time()
     observations, rewards = rollout(env, policy)
     elapsed = time.time() - t0
@@ -108,6 +117,10 @@ def main():
 
     schema_2023p2 = f"{DATASETS}/citylearn_challenge_2023_phase_2_local_evaluation/schema.json"
     record("c2023p2_scripted_168", schema_2023p2, "scripted", 168)
+
+    schema_evs = f"{DATASETS}/citylearn_challenge_2022_phase_all_plus_evs/schema.json"
+    record("evs_zero_168", schema_evs, "zero", 168)
+    record("evs_scripted_168", schema_evs, "scripted", 168)
 
     schema_2021 = f"{DATASETS}/citylearn_challenge_2021/schema.json"
     record("c2021_zero_168", schema_2021, "zero", 168)
