@@ -24,5 +24,13 @@ Architecture (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("CITYLEARN_TPU_PLATFORM"):
+    # honor an explicit platform choice before any jax initialization
+    # (some TPU plugins ignore JAX_PLATFORMS; the config flag wins)
+    import jax as _jax
+    _jax.config.update("jax_platforms", _os.environ["CITYLEARN_TPU_PLATFORM"])
+
 from citylearn_tpu.compiler.schema import compile_schema  # noqa: F401
 from citylearn_tpu.envs.environment import CityLearnEnv  # noqa: F401

@@ -1,0 +1,286 @@
+"""CLI + batch orchestration (reference ``citylearn/__main__.py``).
+
+Commands mirror the reference:
+  - ``citylearn-tpu simulate <schema> train|evaluate`` with JSON summaries
+  - ``citylearn-tpu list_datasets``
+  - ``citylearn-tpu run_work_order <file>`` (process-pool shell fan-out —
+    kept for compatibility; the TPU-native scale-out is the sharded
+    batched trainer in :mod:`citylearn_tpu.train`)
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures
+import importlib
+import json
+import os
+import pickle
+import subprocess
+import time
+import uuid
+from multiprocessing import cpu_count
+from typing import Any, List, Mapping, Optional, Union
+
+import numpy as np
+
+from citylearn_tpu import __version__
+from citylearn_tpu.data import DataSet
+from citylearn_tpu.envs.environment import CityLearnEnv
+
+# dotted-path aliases so reference schemas (citylearn.*) resolve to the
+# TPU-native classes
+ALIASES = {
+    "citylearn.agents": "citylearn_tpu.agents",
+    "citylearn.wrappers": "citylearn_tpu.wrappers",
+    "citylearn.citylearn": "citylearn_tpu.envs.environment",
+}
+
+DEFAULT_TIME_SERIES_VARIABLES = [
+    "solar_generation", "net_electricity_consumption",
+    "net_electricity_consumption_without_storage",
+    "indoor_dry_bulb_temperature", "cooling_demand", "heating_demand",
+    "dhw_demand", "electrical_storage_soc",
+]
+
+
+def resolve_class(dotted: str):
+    module, name = dotted.rsplit(".", 1)
+    for ref, mine in ALIASES.items():
+        if module.startswith(ref):
+            module = module.replace(ref, mine, 1)
+            break
+    # agent submodules map flat: citylearn.agents.rbc -> citylearn_tpu.agents.rbc
+    return getattr(importlib.import_module(module), name)
+
+
+class Simulator:
+    """Train/evaluate wrapper with JSON summaries (reference
+    ``__main__.py:69-385``)."""
+
+    def __init__(self, schema: str, agent_name: str = None,
+                 env_kwargs: Mapping[str, Any] = None,
+                 agent_kwargs: Mapping[str, Any] = None,
+                 wrappers: List[str] = None,
+                 time_series_variables: List[str] = None,
+                 simulation_id: str = None,
+                 output_directory: Union[str, os.PathLike] = None,
+                 agent_filepath: str = None, random_seed: int = None,
+                 overwrite: bool = None):
+        self.schema = schema
+        self.agent_name = agent_name or "citylearn_tpu.agents.base.Agent"
+        self.env_kwargs = dict(env_kwargs or {})
+        self.agent_kwargs = dict(agent_kwargs or {})
+        self.wrappers = wrappers or []
+        self.time_series_variables = (time_series_variables
+                                      or DEFAULT_TIME_SERIES_VARIABLES)
+        self.simulation_id = simulation_id or uuid.uuid4().hex[:8]
+        self.output_directory = str(output_directory or "citylearn_simulations")
+        self.agent_filepath = agent_filepath
+        if random_seed is not None:
+            self.env_kwargs["random_seed"] = random_seed
+        os.makedirs(self.output_directory, exist_ok=True)
+        self._set_env()
+        self._set_agent()
+        self._timestamps = {}
+
+    def _set_env(self):
+        schema = self.schema
+        if isinstance(schema, str) and not os.path.exists(schema):
+            schema = DataSet().get_schema_path(schema)
+        self.env = CityLearnEnv(schema, **self.env_kwargs)
+        for w in self.wrappers:
+            self.env = resolve_class(w)(self.env)
+
+    def _set_agent(self):
+        if self.agent_filepath:
+            with open(self.agent_filepath, "rb") as f:
+                self.agent = pickle.load(f)
+            self.agent.env = self.env
+        else:
+            self.agent = resolve_class(self.agent_name)(self.env, **self.agent_kwargs)
+
+    def _unwrapped(self):
+        return getattr(self.env, "unwrapped", self.env)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def train(cls, episodes: int = None, evaluate: bool = None,
+              evaluation_episode_time_steps=None, save_agent: bool = None,
+              **kwargs):
+        sim = cls(**kwargs)
+        episodes = 1 if episodes is None else int(episodes)
+        sim._timestamps["train_start"] = time.time()
+        sim.agent.learn(episodes=episodes)
+        sim._timestamps["train_end"] = time.time()
+        path = os.path.join(sim.output_directory, f"{sim.simulation_id}-train.json")
+        with open(path, "w") as f:
+            json.dump(sim._training_summary(), f, indent=2, default=float)
+        if save_agent:
+            with open(os.path.join(sim.output_directory,
+                                   f"{sim.simulation_id}-agent.pkl"), "wb") as f:
+                pickle.dump(sim.agent, f)
+        if evaluate:
+            cls.evaluate(
+                evaluation_episode_time_steps=evaluation_episode_time_steps,
+                _existing=sim, **kwargs)
+        return sim
+
+    @classmethod
+    def evaluate(cls, evaluation_episode_time_steps=None, _existing=None,
+                 **kwargs):
+        if _existing is None:
+            if evaluation_episode_time_steps is not None:
+                kwargs.setdefault("env_kwargs", {})
+                kwargs["env_kwargs"]["episode_time_steps"] = \
+                    [list(evaluation_episode_time_steps)]
+            sim = cls(**kwargs)
+        else:
+            sim = _existing
+        sim._timestamps["evaluation_start"] = time.time()
+        sim.agent.learn(episodes=1, deterministic=True)
+        sim._timestamps["evaluation_end"] = time.time()
+        path = os.path.join(sim.output_directory,
+                            f"{sim.simulation_id}-evaluation.json")
+        with open(path, "w") as f:
+            json.dump(sim._evaluation_summary(), f, indent=2, default=float)
+        return sim
+
+    # ------------------------------------------------------------------
+    def _reward_summary(self):
+        env = self._unwrapped()
+        rewards = np.array(env.rewards[1:], dtype=float) if len(env.rewards) > 1 \
+            else np.zeros((0, 1))
+        if rewards.size == 0:
+            return {}
+        return {"min": rewards.min(axis=0).tolist(),
+                "max": rewards.max(axis=0).tolist(),
+                "sum": rewards.sum(axis=0).tolist(),
+                "mean": rewards.mean(axis=0).tolist()}
+
+    def _training_summary(self):
+        return {
+            "simulation_id": self.simulation_id,
+            "schema": str(self.schema),
+            "agent": self.agent_name,
+            "train_start_timestamp": self._timestamps.get("train_start"),
+            "train_end_timestamp": self._timestamps.get("train_end"),
+            "reward_summary": self._reward_summary(),
+            "env_metadata": self._unwrapped().get_metadata(),
+        }
+
+    def _time_series(self):
+        env = self._unwrapped()
+        h = env._history
+        n = env.time_step + 1
+        mapping = {
+            "net_electricity_consumption": h["net"],
+            "net_electricity_consumption_without_storage":
+                h["net"] - (h["cooling_storage_cons"] + h["heating_storage_cons"]
+                            + h["dhw_storage_cons"] + h["battery_cons"]
+                            + h["chargers_cons"]),
+            "solar_generation": -h["solar"],
+            "indoor_dry_bulb_temperature": h["indoor_temperature"],
+            "cooling_demand": h["cooling_demand_actual"],
+            "heating_demand": h["heating_demand_actual"],
+            "electrical_storage_soc": h["battery_soc"],
+        }
+        out = {}
+        for bi, b in enumerate(env.spec.buildings):
+            series = {}
+            sl = slice(env.episode_tracker.episode_start_time_step,
+                       env.episode_tracker.episode_start_time_step + n)
+            for v in self.time_series_variables:
+                if v in mapping:
+                    series[v] = mapping[v][:n, bi].tolist()
+                elif v in b.series:
+                    series[v] = b.series[v][sl].tolist()
+            out[b.name] = series
+        return out
+
+    def _evaluation_summary(self):
+        env = self._unwrapped()
+        kpis = env.evaluate()
+        pivot = {}
+        for r in kpis.itertuples():
+            pivot.setdefault(r.cost_function, {})[r.name] = \
+                None if r.value is None or (isinstance(r.value, float)
+                                            and np.isnan(r.value)) else r.value
+        return {
+            "simulation_id": self.simulation_id,
+            "evaluation_start_timestamp": self._timestamps.get("evaluation_start"),
+            "evaluation_end_timestamp": self._timestamps.get("evaluation_end"),
+            "kpis": pivot,
+            "time_series": self._time_series(),
+        }
+
+
+def run_work_order(work_order_filepath, max_workers=None, start_index=None,
+                   end_index=None):
+    """Process-pool shell fan-out (reference ``__main__.py:31-67``)."""
+    with open(work_order_filepath) as f:
+        lines = [l for l in f.read().strip("\n").split("\n")
+                 if l and not l.startswith("#")]
+    start_index = 0 if start_index is None else start_index
+    end_index = len(lines) - 1 if end_index is None else end_index
+    lines = lines[start_index:end_index + 1]
+    max_workers = cpu_count() if max_workers is None else max_workers
+    with concurrent.futures.ProcessPoolExecutor(max_workers=max_workers) as ex:
+        futures = [ex.submit(subprocess.run, args=l, shell=True) for l in lines]
+        for f in concurrent.futures.as_completed(futures):
+            f.result()
+
+
+def main(argv: Optional[List[str]] = None):
+    parser = argparse.ArgumentParser(
+        prog="citylearn-tpu",
+        description="TPU-native CityLearn: district energy demand-response RL")
+    parser.add_argument("--version", action="version",
+                        version=f"%(prog)s {__version__}")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("list_datasets")
+
+    p = sub.add_parser("run_work_order")
+    p.add_argument("work_order_filepath")
+    p.add_argument("-w", "--max_workers", type=int)
+    p.add_argument("-is", "--start_index", type=int)
+    p.add_argument("-ie", "--end_index", type=int)
+
+    p = sub.add_parser("simulate")
+    p.add_argument("schema")
+    p.add_argument("mode", choices=["train", "evaluate"])
+    p.add_argument("-a", "--agent_name", default=None)
+    p.add_argument("-e", "--episodes", type=int, default=1)
+    p.add_argument("-id", "--simulation_id", default=None)
+    p.add_argument("-d", "--output_directory", default=None)
+    p.add_argument("-k", "--env_kwargs", type=json.loads, default=None)
+    p.add_argument("-ak", "--agent_kwargs", type=json.loads, default=None)
+    p.add_argument("-w", "--wrappers", nargs="*", default=None)
+    p.add_argument("-rs", "--random_seed", type=int, default=None)
+    p.add_argument("-fa", "--agent_filepath", default=None)
+    p.add_argument("--evaluate", action="store_true")
+    p.add_argument("--save_agent", action="store_true")
+
+    args = parser.parse_args(argv)
+    if args.command == "list_datasets":
+        print("\n".join(DataSet().get_dataset_names()))
+    elif args.command == "run_work_order":
+        run_work_order(args.work_order_filepath, args.max_workers,
+                       args.start_index, args.end_index)
+    elif args.command == "simulate":
+        common = dict(schema=args.schema, agent_name=args.agent_name,
+                      env_kwargs=args.env_kwargs, agent_kwargs=args.agent_kwargs,
+                      wrappers=args.wrappers, simulation_id=args.simulation_id,
+                      output_directory=args.output_directory,
+                      random_seed=args.random_seed,
+                      agent_filepath=args.agent_filepath)
+        if args.mode == "train":
+            Simulator.train(episodes=args.episodes, evaluate=args.evaluate,
+                            save_agent=args.save_agent, **common)
+        else:
+            Simulator.evaluate(**common)
+
+
+if __name__ == "__main__":
+    main()

@@ -354,6 +354,41 @@ class CityLearnEnv:
     def get_info(self) -> Mapping[Any, Any]:
         return {}
 
+    def get_metadata(self) -> Mapping[str, Any]:
+        """Static env metadata (reference ``citylearn.py:940-954`` +
+        ``building.py:1080-1113``): annual demand/generation estimates over
+        the current episode window plus device/storage summaries."""
+        ep = self.episode_tracker
+        sl = slice(ep.episode_start_time_step, ep.episode_end_time_step + 1)
+        n_years = max(1.0, (ep.episode_time_steps * self.spec.seconds_per_time_step)
+                      / (8760 * 3600))
+        buildings = []
+        for b in self.spec.buildings:
+            buildings.append({
+                "name": b.name,
+                "annual_cooling_demand_estimate": float(b.series["cooling_demand"][sl].sum()) / n_years,
+                "annual_heating_demand_estimate": float(b.series["heating_demand"][sl].sum()) / n_years,
+                "annual_dhw_demand_estimate": float(b.series["dhw_demand"][sl].sum()) / n_years,
+                "annual_non_shiftable_load_estimate": float(b.series["non_shiftable_load"][sl].sum()) / n_years,
+                "annual_solar_generation_estimate":
+                    float((b.pv_nominal_power * b.series["solar_generation"][sl] / 1000.0).sum()) / n_years,
+                "cooling_storage": {"capacity": b.cooling_storage.capacity},
+                "heating_storage": {"capacity": b.heating_storage.capacity},
+                "dhw_storage": {"capacity": b.dhw_storage.capacity},
+                "electrical_storage": {"capacity": b.battery.capacity,
+                                       "nominal_power": b.battery.nominal_power},
+                "pv": {"nominal_power": b.pv_nominal_power},
+                "observation_metadata": {k: True for k in b.active_observations},
+                "action_metadata": {k: True for k in b.active_actions},
+            })
+        return {
+            "central_agent": self.central_agent,
+            "random_seed": self.spec.random_seed,
+            "seconds_per_time_step": self.spec.seconds_per_time_step,
+            "simulation_time_steps": self.spec.simulation_time_steps,
+            "buildings": buildings,
+        }
+
     # ------------------------------------------------------------------
     # observations
     # ------------------------------------------------------------------
