@@ -194,6 +194,68 @@ def _series_from_energy_csv(df: pd.DataFrame) -> Dict[str, np.ndarray]:
     return out
 
 
+def _load_occupant(block: dict, root: str, sim_start: int, sim_end: int) -> "OccupantSpec":
+    """Parse an occupant block: logistic parameters CSV + pickled
+    DecisionTreeClassifiers flattened to node arrays (reference
+    ``citylearn.py:2230-2250``, ``occupant.py:18-99``)."""
+    import pickle
+
+    from citylearn_tpu.compiler.spec import OccupantSpec
+
+    attrs = dict(block.get("attributes") or {})
+    pdf = pd.read_csv(os.path.join(root, block["parameters_filename"]))
+    sl = slice(sim_start, sim_end + 1)
+    delta_map = {int(k): float(v)
+                 for k, v in (attrs.get("delta_output_map") or {}).items()}
+
+    def flatten_tree(path):
+        if not os.path.exists(path):
+            # the bundled quebec datasets ship without the pickled trees
+            # (the reference crashes outright); degrade to an inert
+            # single-leaf tree predicting delta 0
+            import warnings
+            warnings.warn(f"occupant model {os.path.basename(path)} missing; "
+                          "using inert tree (delta 0)")
+            return (np.asarray([-1], np.int32), np.asarray([-1], np.int32),
+                    np.asarray([-2], np.int32), np.asarray([0.0], np.float32),
+                    np.asarray([0.0], np.float32), 1)
+        with open(path, "rb") as f:
+            clf = pickle.load(f)
+        t = clf.tree_
+        classes = clf.classes_
+        delta = np.zeros(t.node_count, np.float32)
+        for node in range(t.node_count):
+            cls = classes[int(np.argmax(t.value[node]))]
+            delta[node] = delta_map.get(int(cls), 0.0)
+        return (t.children_left.astype(np.int32),
+                t.children_right.astype(np.int32),
+                t.feature.astype(np.int32),
+                t.threshold.astype(np.float32),
+                delta, int(t.max_depth))
+
+    inc = flatten_tree(os.path.join(root, attrs["setpoint_increase_model_filename"]))
+    dec = flatten_tree(os.path.join(root, attrs["setpoint_decrease_model_filename"]))
+    n = max(len(inc[0]), len(dec[0]))
+
+    def pad(a, fill):
+        return np.pad(a, (0, n - len(a)), constant_values=fill)
+
+    hold = attrs.get("set_point_hold_time_steps")
+    return OccupantSpec(
+        a_increase=pdf["a_increase"].to_numpy(np.float32)[sl],
+        b_increase=pdf["b_increase"].to_numpy(np.float32)[sl],
+        a_decrease=pdf["a_decrease"].to_numpy(np.float32)[sl],
+        b_decrease=pdf["b_decrease"].to_numpy(np.float32)[sl],
+        tree_children_left=np.stack([pad(inc[0], -1), pad(dec[0], -1)]),
+        tree_children_right=np.stack([pad(inc[1], -1), pad(dec[1], -1)]),
+        tree_feature=np.stack([pad(inc[2], -2), pad(dec[2], -2)]),
+        tree_threshold=np.stack([pad(inc[3], 0.0), pad(dec[3], 0.0)]),
+        tree_delta=np.stack([pad(inc[4], 0.0), pad(dec[4], 0.0)]),
+        max_depth=max(inc[5], dec[5]),
+        set_point_hold_time_steps=(2 ** 30 if hold is None else int(hold)),
+    )
+
+
 def _resolve_hvac(block: Optional[dict], seed: Optional[int]) -> HVACDeviceSpec:
     if block is None:
         # Missing device: the reference constructs HeatPump(0.0)/ElectricHeater(0.0)
@@ -273,6 +335,63 @@ def _resolve_battery(block: Optional[dict], seed: Optional[int],
     spec.power_efficiency_curve_x, spec.power_efficiency_curve_y = seeding.pad_curve(pec, CURVE_PAD)
     spec.capacity_power_curve_x, spec.capacity_power_curve_y = seeding.pad_curve(cpc, CURVE_PAD)
     return spec
+
+
+def _autosize_battery(spec: BatterySpec, block: dict, series: Dict[str, np.ndarray],
+                      sim_start: int, sim_end: int, cooling_device, heating_device,
+                      dhw_device, seed: int, time_step_ratio: float):
+    """Battery autosize by sampling a real manufacturer model
+    (reference ``building.py:2405-2424``, ``energy_model.py:1143-1226``)
+    using the locally bundled ``battery_choices.yaml``."""
+    import yaml
+
+    from citylearn_tpu.compiler.spaces import _hvac_input_power_np
+
+    sl = slice(sim_start, sim_end + 1)
+    t_out = series["outdoor_dry_bulb_temperature"][sl]
+    baseline = (
+        _hvac_input_power_np(cooling_device, series["cooling_demand"][sl], t_out, False)
+        + _hvac_input_power_np(heating_device, series["heating_demand"][sl], t_out, True)
+        + _hvac_input_power_np(dhw_device, series["dhw_demand"][sl], t_out, True)
+        + series["non_shiftable_load"][sl])
+    # daily-peak mean; the reference's day grouping reduces to groups of 24
+    # steps regardless of cadence (building.py:2416: spt*24/spt)
+    n = len(baseline)
+    groups = np.arange(n) // 24
+    demand = float(np.mean([baseline[groups == g].max()
+                            for g in range(groups[-1] + 1)]))
+
+    yaml_path = None
+    for cand in [os.environ.get("CITYLEARN_MISC_ROOT"),
+                 "/root/reference/data/misc"]:
+        if cand and os.path.isfile(os.path.join(cand, "battery_choices.yaml")):
+            yaml_path = os.path.join(cand, "battery_choices.yaml")
+            break
+    if yaml_path is None:
+        raise FileNotFoundError("battery_choices.yaml not found; set CITYLEARN_MISC_ROOT")
+    raw = yaml.safe_load(open(yaml_path))
+    sizing = pd.DataFrame([{"model": k, **v["attributes"]} for k, v in raw.items()]
+                          ).set_index("model")
+
+    # Battery.autosize (energy_model.py:1190-1226)
+    demand_r = demand * time_step_ratio
+    duration = seeding.resolve(None, (1.5, 3.5), seed)
+    choices = sizing[sizing["nominal_power"] <= demand_r]
+    if len(choices) == 0:
+        choices = sizing.sort_values("nominal_power").iloc[0:1]
+    choice_names = list(choices.to_dict("index").keys())
+    choice = np.random.RandomState(seed).choice(choice_names)
+    row = choices.loc[choice]
+    target = demand_r * duration * 1.0
+    unit_count = max(1, int(np.floor(target / row["capacity"])))
+    spec.capacity = float(row["capacity"]) * unit_count
+    spec.nominal_power = float(row["nominal_power"])  # parallel=False quirk
+    spec.depth_of_discharge = seeding.resolve(row["depth_of_discharge"], 1.0, seed)
+    spec.efficiency = seeding.resolve(row["efficiency"], (0.90, 0.98), seed)
+    spec.loss_coefficient = seeding.resolve(
+        row["loss_coefficient"], (0.001, 0.009), seed) * time_step_ratio
+    spec.capacity_loss_coefficient = seeding.resolve(
+        row["capacity_loss_coefficient"], (1e-5, 1e-4), seed)
 
 
 def _null_battery() -> BatterySpec:
@@ -414,7 +533,10 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
         battery = (_resolve_battery(bat_block, dev_seed("electrical_storage", bat_block),
                                     time_step_ratio)
                    if bat_block is not None else _null_battery())
-        pv_block = b_schema.get("pv")
+        solar_generation = overrides.get("solar_generation")
+        if isinstance(solar_generation, list):
+            solar_generation = solar_generation[b_index]
+        pv_block = None if solar_generation is False else b_schema.get("pv")
         pv_nominal = float(((pv_block or {}).get("attributes") or {}).get("nominal_power") or 0.0)
 
         cool_block = b_schema.get("cooling_device")
@@ -475,10 +597,18 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
                        dev_seed("heating_storage", hs_block))
         _autosize_tank(ds_block, dhw_storage, "dhw_demand",
                        dev_seed("dhw_storage", ds_block))
-        if (bat_block or {}).get("autosize") or (pv_block or {}).get("autosize"):
+
+        if (bat_block or {}).get("autosize"):
+            _autosize_battery(
+                battery, bat_block, series, sim_start, sim_end,
+                cooling_device, heating_device, dhw_device,
+                dev_seed("electrical_storage", bat_block), time_step_ratio)
+        if (pv_block or {}).get("autosize") and pv_nominal > 0:
             raise NotImplementedError(
-                "battery/pv autosize requires sizing tables (reference "
-                "energy_model.py:1143-1226,491-602); not yet supported")
+                "PV autosize requires NREL PySAM + LBNL Tracking-the-Sun "
+                "sizing data (reference energy_model.py:491-602), neither of "
+                "which is available offline; pass solar_generation=False to "
+                "disable PV for this building")
 
         # --- chargers + washing machines --------------------------------
         chargers: List[ChargerSpec] = []
@@ -555,13 +685,23 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
         power_outage_cfg = b_schema.get("power_outage") or {}
 
         dynamics = None
-        if b_schema.get("dynamics") is not None and \
-                b_type.rsplit(".", 1)[-1] in ("LSTMDynamicsBuilding",
-                                              "DynamicsBuilding"):
+        occupant = None
+        type_name = b_type.rsplit(".", 1)[-1]
+        if b_schema.get("dynamics") is not None and type_name in (
+                "LSTMDynamicsBuilding", "DynamicsBuilding",
+                "OccupantInteractionBuilding",
+                "LogisticRegressionOccupantInteractionBuilding"):
             dynamics = _load_dynamics(b_schema["dynamics"], root)
         elif b_schema.get("dynamics") is not None:
             raise NotImplementedError(
                 f"building type {b_type} with dynamics not yet supported")
+        if b_schema.get("occupant") is not None and type_name == \
+                "LogisticRegressionOccupantInteractionBuilding":
+            occupant = _load_occupant(b_schema["occupant"], root, sim_start, sim_end)
+            hold = (b_schema.get("set_point_hold_time_steps")
+                    or (b_schema.get("attributes") or {}).get("set_point_hold_time_steps"))
+            if hold is not None:
+                occupant.set_point_hold_time_steps = int(hold)
 
         spec = BuildingSpec(
             name=b_name,
@@ -583,6 +723,7 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
             stochastic_power_outage=bool(power_outage_cfg.get("stochastic_power_outage", False)),
             stochastic_power_outage_model=power_outage_cfg.get("stochastic_power_outage_model"),
             dynamics=dynamics,
+            occupant=occupant,
             chargers=chargers,
             washing_machines=washing_machines,
         )

@@ -85,6 +85,25 @@ class DynamicsSpec:
 
 
 @dataclasses.dataclass
+class OccupantSpec:
+    """Logistic-regression occupant thermostat interaction (reference
+    ``citylearn/occupant.py:18-99``). Decision trees are flattened into
+    node arrays with per-node setpoint deltas."""
+    a_increase: np.ndarray = None        # (T,)
+    b_increase: np.ndarray = None
+    a_decrease: np.ndarray = None
+    b_decrease: np.ndarray = None
+    # per tree (increase, decrease): node arrays padded to max nodes
+    tree_children_left: np.ndarray = None   # (2, N) int32
+    tree_children_right: np.ndarray = None
+    tree_feature: np.ndarray = None
+    tree_threshold: np.ndarray = None       # (2, N) float32
+    tree_delta: np.ndarray = None           # (2, N) float32 delta at leaves
+    max_depth: int = 0
+    set_point_hold_time_steps: int = 2 ** 30   # inf default
+
+
+@dataclasses.dataclass
 class ChargerSpec:
     """EV charger + its charger-centric schedule (reference
     ``citylearn/electric_vehicle_charger.py:10``, ``data.py:663``).
@@ -154,6 +173,7 @@ class BuildingSpec:
     stochastic_power_outage: bool = False
     stochastic_power_outage_model: Optional[dict] = None
     dynamics: Optional[DynamicsSpec] = None
+    occupant: Optional["OccupantSpec"] = None
     chargers: List["ChargerSpec"] = dataclasses.field(default_factory=list)
     washing_machines: List["WashingMachineSpec"] = dataclasses.field(default_factory=list)
 

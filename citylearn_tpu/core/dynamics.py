@@ -14,21 +14,21 @@ import jax.numpy as jnp
 from citylearn_tpu.core.types import DynamicsParams, StaticConfig
 
 
-def lstm_predict(cfg: StaticConfig, dyn: DynamicsParams, model_in: jnp.ndarray,
+def lstm_predict(dyn: DynamicsParams, model_in: jnp.ndarray,
                  h0: jnp.ndarray, c0: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run the stacked per-building LSTM over the lookback window.
+    """Run one group's stacked LSTM over the lookback window.
 
-    ``model_in``: (B, lookback, F); ``h0``/``c0``: (L, B, H) carried across
-    env steps (reference ``building.py:3020-3024`` detaches and reuses the
-    hidden state). Returns (pred (B,), h (L, B, H), c (L, B, H)) where pred
-    is the normalized temperature from the linear head on the final
-    hidden output (``dynamics.py:94-101``).
+    ``model_in``: (Bg, lookback, F); ``h0``/``c0``: (L, Bg, H) carried
+    across env steps (reference ``building.py:3020-3024`` detaches and
+    reuses the hidden state). Returns (pred (Bg,), h, c) where pred is the
+    normalized temperature from the linear head on the final hidden output
+    (``dynamics.py:94-101``).
     """
-    H = cfg.hidden_size
-    x = model_in                                    # (B, S, F)
+    H = dyn.lin_w.shape[1]
+    x = model_in                                    # (Bg, S, F)
     hs, cs = [], []
-    for l in range(cfg.num_layers):
+    for l in range(len(dyn.w_ih)):
         w_ih, w_hh, b = dyn.w_ih[l], dyn.w_hh[l], dyn.bias[l]
 
         def cell(carry, x_t, w_ih=w_ih, w_hh=w_hh, b=b):

@@ -209,6 +209,7 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
     episode_steps = int(episode_steps)
 
     dynamics, dyn_cfg = _pack_dynamics(spec, sl)
+    occupant, occ_cfg = _pack_occupant(spec, episode_steps)
     chargers, evs, wms, ev_cfg = _pack_evs(spec, episode_steps)
 
     params = DistrictParams(
@@ -222,6 +223,7 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
         dhw_storage=tank_params(lambda b: b.dhw_storage),
         obs_static=jnp.asarray(obs_static),
         dynamics=dynamics,
+        occupant=occupant,
         chargers=chargers,
         evs=evs,
         washing_machines=wms,
@@ -247,9 +249,57 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
         reward_higher_exponent=float(reward_attrs.get("higher_exponent") or 2.0),
         reward_coefficients=tuple(reward_attrs.get("coefficients") or (1.0, 1.0)),
         **dyn_cfg,
+        **occ_cfg,
         **ev_cfg,
     )
     return cfg, params, layout
+
+
+def _pack_occupant(spec: DistrictSpec, episode_steps: int):
+    """Stack occupant interaction models over buildings; precompute the
+    per-step seeded uniform draws (``occupant.py:69-71``: a fresh
+    ``RandomState(max(seed, 1) + t)`` per step — building-independent
+    because every occupant shares the env seed)."""
+    from citylearn_tpu.core.types import OccupantParams
+
+    occs = [b.occupant for b in spec.buildings]
+    if all(o is None for o in occs):
+        return None, {}
+    assert all(o is not None for o in occs), \
+        "mixed occupant/plain dynamics districts not yet supported"
+    n_nodes = max(o.tree_children_left.shape[1] for o in occs)
+    depth = max(o.max_depth for o in occs)
+
+    def pad_nodes(a, fill):
+        out = np.full((len(occs), 2, n_nodes), fill, a[0].dtype)
+        for i, arr in enumerate(a):
+            out[i, :, :arr.shape[1]] = arr
+        return jnp.asarray(out)
+
+    seed = max(spec.random_seed, 1)
+    rand = np.asarray([np.random.RandomState(seed + t).uniform()
+                       for t in range(episode_steps)], np.float32)
+
+    series = lambda get: jnp.asarray(np.stack(
+        [get(o)[:episode_steps] for o in occs], axis=1).astype(np.float32))
+    occ = OccupantParams(
+        a_increase=series(lambda o: o.a_increase),
+        b_increase=series(lambda o: o.b_increase),
+        a_decrease=series(lambda o: o.a_decrease),
+        b_decrease=series(lambda o: o.b_decrease),
+        random_probability=jnp.asarray(rand),
+        tree_children_left=pad_nodes([o.tree_children_left for o in occs], -1),
+        tree_children_right=pad_nodes([o.tree_children_right for o in occs], -1),
+        tree_feature=pad_nodes([o.tree_feature for o in occs], -2),
+        tree_threshold=pad_nodes([o.tree_threshold for o in occs], 0.0),
+        tree_delta=pad_nodes([o.tree_delta for o in occs], 0.0),
+        hold_time_steps=jnp.asarray(
+            [min(o.set_point_hold_time_steps, 2 ** 30) for o in occs], jnp.int32),
+        lookback=jnp.asarray(
+            [b.dynamics.lookback if b.dynamics else 0 for b in spec.buildings],
+            jnp.int32),
+    )
+    return occ, dict(has_occupant=True, occupant_tree_depth=depth)
 
 
 def _ev_obs_columns(spec: DistrictSpec, T: int):
@@ -394,23 +444,15 @@ def _pack_evs(spec: DistrictSpec, episode_steps: int):
 
 
 def _pack_dynamics(spec: DistrictSpec, sl: slice):
-    """Stack per-building LSTM dynamics + precompute static input channels."""
-    dyn_specs = [b.dynamics for b in spec.buildings]
-    if all(d is None for d in dyn_specs):
-        return None, {}
-    assert all(d is not None for d in dyn_specs), \
+    """Group buildings by identical LSTM shape/channels and stack each
+    group's weights + precomputed static input channels."""
+    dyn_specs = [(bi, b.dynamics) for bi, b in enumerate(spec.buildings)
+                 if b.dynamics is not None]
+    if not dyn_specs:
+        return (), {}
+    assert len(dyn_specs) == len(spec.buildings), \
         "mixed dynamics/plain building districts not yet supported"
-    d0 = dyn_specs[0]
-    names = d0.input_observation_names
-    for d in dyn_specs:
-        assert (d.input_observation_names == names
-                and d.hidden_size == d0.hidden_size
-                and d.num_layers == d0.num_layers
-                and d.lookback == d0.lookback), \
-            "dynamics models must share shapes/channels for batched stepping"
 
-    B = len(spec.buildings)
-    F = len(names)
     T = sl.stop - sl.start
 
     def channel_series(b, name) -> np.ndarray:
@@ -425,46 +467,60 @@ def _pack_dynamics(spec: DistrictSpec, sl: slice):
             return b.series[name][sl].astype(np.float32)
         raise NotImplementedError(f"dynamics input channel {name}")
 
-    static = np.zeros((T, B, F), np.float32)
-    for bi, b in enumerate(spec.buildings):
-        d = dyn_specs[bi]
-        for fi, name in enumerate(names):
-            if name in DYNAMIC_CHANNELS:
-                continue
-            v = channel_series(b, name)
-            lo, hi = d.norm_min[fi], d.norm_max[fi]
-            static[:, bi, fi] = (v - lo) / (hi - lo)
+    # partition into shape-identical groups (preserving building order)
+    groups: dict = {}
+    for bi, d in dyn_specs:
+        key = (tuple(d.input_observation_names), d.hidden_size, d.num_layers,
+               d.lookback)
+        groups.setdefault(key, []).append(bi)
 
     f32 = lambda arrs: jnp.asarray(np.stack(arrs).astype(np.float32))
-    dyn = DynamicsParams(
-        w_ih=tuple(f32([d.w_ih[l] for d in dyn_specs]) for l in range(d0.num_layers)),
-        w_hh=tuple(f32([d.w_hh[l] for d in dyn_specs]) for l in range(d0.num_layers)),
-        bias=tuple(f32([d.bias[l] for d in dyn_specs]) for l in range(d0.num_layers)),
-        lin_w=f32([d.lin_w for d in dyn_specs]),
-        lin_b=jnp.asarray(np.asarray([d.lin_b for d in dyn_specs], np.float32)),
-        norm_min=f32([d.norm_min for d in dyn_specs]),
-        norm_max=f32([d.norm_max for d in dyn_specs]),
-        static_channels=jnp.asarray(static),
-        cooling_device_active=jnp.asarray(
-            ["cooling_device" in b.active_actions for b in spec.buildings]),
-        heating_device_active=jnp.asarray(
-            ["heating_device" in b.active_actions for b in spec.buildings]),
-        cooling_or_heating_active=jnp.asarray(
-            ["cooling_or_heating_device" in b.active_actions for b in spec.buildings]),
-    )
-    dyn_cfg = dict(
-        has_dynamics=True,
-        lookback=d0.lookback,
-        num_layers=d0.num_layers,
-        hidden_size=d0.hidden_size,
-        n_dyn_channels=F,
-        dyn_temp_channel=names.index("indoor_dry_bulb_temperature"),
-        dyn_cooling_channel=(names.index("cooling_demand")
-                             if "cooling_demand" in names else -1),
-        dyn_heating_channel=(names.index("heating_demand")
-                             if "heating_demand" in names else -1),
-    )
-    return dyn, dyn_cfg
+    packed = []
+    metas = []
+    max_lookback = 0
+    for (names, H, L, lookback), members in groups.items():
+        names = list(names)
+        F = len(names)
+        max_lookback = max(max_lookback, lookback)
+        ds = [spec.buildings[bi].dynamics for bi in members]
+        static = np.zeros((T, len(members), F), np.float32)
+        for gi, bi in enumerate(members):
+            b = spec.buildings[bi]
+            d = b.dynamics
+            for fi, name in enumerate(names):
+                if name in DYNAMIC_CHANNELS:
+                    continue
+                v = channel_series(b, name)
+                lo, hi = d.norm_min[fi], d.norm_max[fi]
+                static[:, gi, fi] = (v - lo) / (hi - lo)
+        packed.append(DynamicsParams(
+            member_indices=jnp.asarray(members, jnp.int32),
+            w_ih=tuple(f32([d.w_ih[l] for d in ds]) for l in range(L)),
+            w_hh=tuple(f32([d.w_hh[l] for d in ds]) for l in range(L)),
+            bias=tuple(f32([d.bias[l] for d in ds]) for l in range(L)),
+            lin_w=f32([d.lin_w for d in ds]),
+            lin_b=jnp.asarray(np.asarray([d.lin_b for d in ds], np.float32)),
+            norm_min=f32([d.norm_min for d in ds]),
+            norm_max=f32([d.norm_max for d in ds]),
+            static_channels=jnp.asarray(static),
+            cooling_device_active=jnp.asarray(
+                ["cooling_device" in spec.buildings[bi].active_actions
+                 for bi in members]),
+            heating_device_active=jnp.asarray(
+                ["heating_device" in spec.buildings[bi].active_actions
+                 for bi in members]),
+            cooling_or_heating_active=jnp.asarray(
+                ["cooling_or_heating_device" in spec.buildings[bi].active_actions
+                 for bi in members]),
+        ))
+        metas.append((lookback, L, H, F,
+                      names.index("indoor_dry_bulb_temperature"),
+                      names.index("cooling_demand") if "cooling_demand" in names else -1,
+                      names.index("heating_demand") if "heating_demand" in names else -1))
+
+    dyn_cfg = dict(has_dynamics=True, dyn_groups=tuple(metas),
+                   max_lookback=max_lookback)
+    return tuple(packed), dyn_cfg
 
 
 def initial_state(cfg: StaticConfig, params: DistrictParams,
@@ -481,15 +537,30 @@ def initial_state(cfg: StaticConfig, params: DistrictParams,
     else:
         ev_soc = ev_eff = ev_deg = jnp.zeros((0,), jnp.float32)
     wm_initiated = jnp.zeros((cfg.n_washing_machines,), bool)
-    if cfg.has_dynamics:
-        lstm_h = jnp.zeros((cfg.num_layers, B, cfg.hidden_size), jnp.float32)
-        dyn_input = jnp.zeros((B, cfg.n_dyn_channels, cfg.lookback + 1), jnp.float32)
+    lstm_h, dyn_input = [], []
+    for meta, dyn in zip(cfg.dyn_groups, params.dynamics):
+        lookback, L, H, F, *_ = meta
+        Bg = dyn.member_indices.shape[0]
+        lstm_h.append(jnp.zeros((L, Bg, H), jnp.float32))
+        dyn_input.append(jnp.zeros((Bg, F, lookback + 1), jnp.float32))
+    lstm_h, dyn_input = tuple(lstm_h), tuple(dyn_input)
+    nanB = jnp.full((B,), jnp.nan, jnp.float32)
+    if cfg.has_occupant:
+        occ_state = dict(
+            occ_csp_override=nanB, occ_hsp_override=nanB,
+            occ_hold_counter=jnp.full((B,), -1, jnp.int32),
+            occ_prev_temp=jnp.zeros((B,), jnp.float32),
+            occ_prev_csp=jnp.zeros((B,), jnp.float32),
+            occ_prev_hsp=jnp.zeros((B,), jnp.float32))
     else:
-        lstm_h = jnp.zeros((0, B, 0), jnp.float32)
-        dyn_input = jnp.zeros((B, 0, 0), jnp.float32)
+        z0 = jnp.zeros((0,), jnp.float32)
+        occ_state = dict(occ_csp_override=z0, occ_hsp_override=z0,
+                         occ_hold_counter=jnp.zeros((0,), jnp.int32),
+                         occ_prev_temp=z0, occ_prev_csp=z0, occ_prev_hsp=z0)
     return EnvState(
         t=jnp.asarray(0, jnp.int32),
         data_offset=jnp.asarray(data_offset, jnp.int32),
+        **occ_state,
         battery_soc=params.battery.initial_soc,
         battery_efficiency=params.battery.efficiency,
         battery_degraded_capacity=params.battery.capacity,
@@ -497,7 +568,7 @@ def initial_state(cfg: StaticConfig, params: DistrictParams,
         heating_storage_soc=params.heating_storage.initial_soc,
         dhw_storage_soc=params.dhw_storage.initial_soc,
         lstm_h=lstm_h,
-        lstm_c=lstm_h,
+        lstm_c=tuple(jnp.zeros_like(h) for h in lstm_h),
         dyn_input=dyn_input,
         ev_soc=ev_soc,
         ev_efficiency=ev_eff,

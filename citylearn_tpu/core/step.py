@@ -172,30 +172,40 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     cooling_demand = cooling_demand_ideal
     heating_demand = heating_demand_ideal
     if cfg.has_dynamics:
-        dyn = params.dynamics
-        control_warm = t >= cfg.lookback + 1
-        coh = actions.get("cooling_or_heating_device", zero)
-        cool_act = jnp.where(dyn.cooling_or_heating_active,
-                             jnp.abs(jnp.minimum(coh, 0.0)),
-                             actions.get("cooling_device", zero))
-        heat_act = jnp.where(dyn.cooling_or_heating_active,
-                             jnp.abs(jnp.maximum(coh, 0.0)),
-                             actions.get("heating_device", zero))
-        cool_active = dyn.cooling_device_active | dyn.cooling_or_heating_active
-        heat_active = dyn.heating_device_active | dyn.cooling_or_heating_active
-        elec_c = cool_act * params.cooling_device.nominal_power * hours_ratio
-        partial_c = hvac.max_output_power(params.cooling_device, outdoor_t, False,
-                                          elec_c, dev_init_cool)
-        partial_c = jnp.where((hvac_mode == 1) | (hvac_mode == 3), partial_c, 0.0)
-        cooling_demand = jnp.where(control_warm & cool_active, partial_c,
-                                   cooling_demand_ideal)
-        # heating uses no hours ratio (building.py:3146) — shipped quirk
-        elec_h = heat_act * params.heating_device.nominal_power
-        partial_h = hvac.max_output_power(params.heating_device, outdoor_t, True,
-                                          elec_h, dev_init_heat)
-        partial_h = jnp.where((hvac_mode == 2) | (hvac_mode == 3), partial_h, 0.0)
-        heating_demand = jnp.where(control_warm & heat_active, partial_h,
-                                   heating_demand_ideal)
+        coh_all = actions.get("cooling_or_heating_device", zero)
+        cool_all = actions.get("cooling_device", zero)
+        heat_all = actions.get("heating_device", zero)
+        for meta, dyn in zip(cfg.dyn_groups, params.dynamics):
+            lookback = meta[0]
+            m = dyn.member_indices
+            control_warm = t >= lookback + 1
+            coh = coh_all[m]
+            cool_act = jnp.where(dyn.cooling_or_heating_active,
+                                 jnp.abs(jnp.minimum(coh, 0.0)), cool_all[m])
+            heat_act = jnp.where(dyn.cooling_or_heating_active,
+                                 jnp.abs(jnp.maximum(coh, 0.0)), heat_all[m])
+            cool_active = dyn.cooling_device_active | dyn.cooling_or_heating_active
+            heat_active = dyn.heating_device_active | dyn.cooling_or_heating_active
+            gdev = lambda p: jax.tree_util.tree_map(lambda a: a[m], p)
+            cool_dev = gdev(params.cooling_device)
+            heat_dev = gdev(params.heating_device)
+            mode = hvac_mode[m]
+            out_t = outdoor_t[m]
+            elec_c = cool_act * cool_dev.nominal_power * hours_ratio
+            partial_c = hvac.max_output_power(cool_dev, out_t, False, elec_c,
+                                              dev_init_cool[m])
+            partial_c = jnp.where((mode == 1) | (mode == 3), partial_c, 0.0)
+            cooling_demand = cooling_demand.at[m].set(
+                jnp.where(control_warm & cool_active, partial_c,
+                          cooling_demand[m]))
+            # heating uses no hours ratio (building.py:3146) — shipped quirk
+            elec_h = heat_act * heat_dev.nominal_power
+            partial_h = hvac.max_output_power(heat_dev, out_t, True, elec_h,
+                                              dev_init_heat[m])
+            partial_h = jnp.where((mode == 2) | (mode == 3), partial_h, 0.0)
+            heating_demand = heating_demand.at[m].set(
+                jnp.where(control_warm & heat_active, partial_h,
+                          heating_demand[m]))
 
     # ---- electrical storage, early variant (discharging runs first,
     # building.py:1606-1609) ----
@@ -369,38 +379,127 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     cooling_demand_obs = cool.device_output + jnp.maximum(-cool.balance, 0.0)
     heating_demand_obs = heat.device_output + jnp.maximum(-heat.balance, 0.0)
     temp_t = temp_ideal
-    lstm_h, lstm_c, dyn_input = state.lstm_h, state.lstm_c, state.dyn_input
-    if cfg.has_dynamics:
-        dyn = params.dynamics
+    lstm_h = list(state.lstm_h)
+    lstm_c = list(state.lstm_c)
+    dyn_input = list(state.dyn_input)
+    for g, (meta, dyn) in enumerate(zip(cfg.dyn_groups, params.dynamics)):
+        lookback, L, H, F, tc, cc, hc = meta
+        m = dyn.member_indices
         norm = lambda v, ch: ((v - dyn.norm_min[:, ch])
                               / (dyn.norm_max[:, ch] - dyn.norm_min[:, ch]))
-        vals = jnp.take(dyn.static_channels, tau, axis=0)   # (B, F) pre-normalized
-        if cfg.dyn_cooling_channel >= 0:
-            vals = vals.at[:, cfg.dyn_cooling_channel].set(
-                norm(cooling_demand_obs, cfg.dyn_cooling_channel))
-        if cfg.dyn_heating_channel >= 0:
-            vals = vals.at[:, cfg.dyn_heating_channel].set(
-                norm(heating_demand_obs, cfg.dyn_heating_channel))
-        tc = cfg.dyn_temp_channel
-        vals = vals.at[:, tc].set(norm(temp_ideal, tc))
-        buf = jnp.concatenate([dyn_input[:, :, 1:], vals[:, :, None]], axis=2)
+        vals = jnp.take(dyn.static_channels, tau, axis=0)   # (Bg, F) pre-normalized
+        if cc >= 0:
+            vals = vals.at[:, cc].set(norm(cooling_demand_obs[m], cc))
+        if hc >= 0:
+            vals = vals.at[:, hc].set(norm(heating_demand_obs[m], hc))
+        vals = vals.at[:, tc].set(norm(temp_ideal[m], tc))
+        buf = jnp.concatenate([dyn_input[g][:, :, 1:], vals[:, :, None]], axis=2)
 
-        predict_warm = t >= cfg.lookback
+        predict_warm = t >= lookback
         # model input (building.py:3039-3055): all channels use the last
         # `lookback` entries except indoor temperature which uses the
         # first `lookback` (one step older)
         main = buf[:, :, 1:]
         model_in = main.at[:, tc, :].set(buf[:, tc, :-1])
-        model_in = jnp.swapaxes(model_in, 1, 2)             # (B, lookback, F)
-        pred_norm, h_new, c_new = lstm_predict(cfg, dyn, model_in, lstm_h, lstm_c)
+        model_in = jnp.swapaxes(model_in, 1, 2)             # (Bg, lookback, F)
+        pred_norm, h_new, c_new = lstm_predict(dyn, model_in, lstm_h[g], lstm_c[g])
         buf = buf.at[:, tc, -1].set(
             jnp.where(predict_warm, pred_norm, buf[:, tc, -1]))
         pred_temp = pred_norm * (dyn.norm_max[:, tc] - dyn.norm_min[:, tc]) \
             + dyn.norm_min[:, tc]
-        temp_t = jnp.where(predict_warm, pred_temp, temp_ideal)
-        lstm_h = jnp.where(predict_warm, h_new, lstm_h)
-        lstm_c = jnp.where(predict_warm, c_new, lstm_c)
-        dyn_input = buf
+        temp_t = temp_t.at[m].set(
+            jnp.where(predict_warm, pred_temp, temp_ideal[m]))
+        lstm_h[g] = jnp.where(predict_warm, h_new, lstm_h[g])
+        lstm_c[g] = jnp.where(predict_warm, c_new, lstm_c[g])
+        dyn_input[g] = buf
+    lstm_h, lstm_c, dyn_input = tuple(lstm_h), tuple(lstm_c), tuple(dyn_input)
+
+    # ---- occupant thermostat interaction (building.py:3160-3353,
+    # occupant.py:62-99): logistic interaction probability on the
+    # just-predicted temperature + decision-tree setpoint delta, with
+    # future-setpoint mutation, hold counter and reversion. Setpoint
+    # mutations are carried as NaN-coded overrides; the reference mutates
+    # the series from index t onward, so the effective setpoint is
+    # override-if-active else data. ----
+    csp_data = at(series.indoor_dry_bulb_temperature_cooling_set_point)
+    hsp_data = at(series.indoor_dry_bulb_temperature_heating_set_point)
+    csp_eff, hsp_eff = csp_data, hsp_data
+    occ_state = {}
+    if cfg.has_occupant:
+        occ = params.occupant
+        csp_eff = jnp.where(jnp.isfinite(state.occ_csp_override),
+                            state.occ_csp_override, csp_data)
+        hsp_eff = jnp.where(jnp.isfinite(state.occ_hsp_override),
+                            state.occ_hsp_override, hsp_data)
+        # at t == 0 the reference reads index -1 — numpy wraps to the
+        # episode's final row (building.py:3276-3285 with time_step 0)
+        end_idx = state.data_offset + cfg.time_steps - 1
+        at_end = lambda arr: jnp.take(arr, end_idx, axis=0)
+        prev_temp = jnp.where(is_t0, at_end(series.indoor_dry_bulb_temperature),
+                              state.occ_prev_temp)
+        prev_csp = jnp.where(
+            is_t0, at_end(series.indoor_dry_bulb_temperature_cooling_set_point),
+            state.occ_prev_csp)
+        prev_hsp = jnp.where(
+            is_t0, at_end(series.indoor_dry_bulb_temperature_heating_set_point),
+            state.occ_prev_hsp)
+
+        heating_mode = hvac_mode == 2
+        current_sp = jnp.where(heating_mode, hsp_eff, csp_eff)
+        prev_sp = jnp.where(heating_mode, prev_hsp, prev_csp)
+
+        att = lambda arr: jnp.take(arr, t, axis=0)
+        sig = lambda a, b_: 1.0 / (1.0 + jnp.exp(-(a + b_ * temp_t)))
+        p_inc = sig(att(occ.a_increase), att(occ.b_increase))
+        p_dec = sig(att(occ.a_decrease), att(occ.b_decrease))
+        rp = jnp.take(occ.random_probability, t)
+
+        feats = jnp.stack([current_sp, prev_sp, prev_temp - prev_sp], axis=1)
+
+        def tree_delta(k):
+            node = jnp.zeros(csp_data.shape, jnp.int32)
+            take_n = lambda arr: jnp.take_along_axis(
+                arr[:, k, :], node[:, None], axis=1)[:, 0]
+            for _ in range(cfg.occupant_tree_depth + 1):
+                f = take_n(occ.tree_feature)
+                thr = take_n(occ.tree_threshold)
+                x = jnp.take_along_axis(feats, jnp.clip(f, 0, 2)[:, None],
+                                        axis=1)[:, 0]
+                left = take_n(occ.tree_children_left)
+                right = take_n(occ.tree_children_right)
+                nxt = jnp.where(x <= thr, left, right)
+                node = jnp.where(f >= 0, nxt, node)
+            return jnp.take_along_axis(occ.tree_delta[:, k, :], node[:, None],
+                                       axis=1)[:, 0]
+
+        inc_fires = (p_inc >= rp) & (p_dec < rp)
+        dec_fires = (p_dec >= rp) & (p_inc < rp)
+        delta = jnp.where(inc_fires, tree_delta(0),
+                          jnp.where(dec_fires, -tree_delta(1), 0.0))
+        warm = t >= occ.lookback     # simulate_dynamics gate (building.py:2996)
+        delta = jnp.where(warm, delta, 0.0)
+
+        trig = jnp.abs(delta) > 0.0
+        new_csp_ov = jnp.where(trig & ~heating_mode, current_sp + delta,
+                               state.occ_csp_override)
+        new_hsp_ov = jnp.where(trig & heating_mode, current_sp + delta,
+                               state.occ_hsp_override)
+        counter = state.occ_hold_counter
+        counter = jnp.where(trig, occ.hold_time_steps,
+                            jnp.where(counter >= 0, counter - 1, counter))
+        revert = counter == 0
+        nan = jnp.full_like(new_csp_ov, jnp.nan)
+        # effective setpoints for this step's reward/series reflect the
+        # fresh mutation; reversion applies from t + 1 (building.py:3310-3317)
+        csp_eff = jnp.where(trig & ~heating_mode, current_sp + delta, csp_eff)
+        hsp_eff = jnp.where(trig & heating_mode, current_sp + delta, hsp_eff)
+        new_csp_ov = jnp.where(revert, nan, new_csp_ov)
+        new_hsp_ov = jnp.where(revert, nan, new_hsp_ov)
+        counter = jnp.where(revert, -1, counter)
+        occ_state = dict(
+            occ_csp_override=new_csp_ov, occ_hsp_override=new_hsp_ov,
+            occ_hold_counter=counter, occ_prev_temp=temp_t,
+            occ_prev_csp=csp_eff, occ_prev_hsp=hsp_eff)
 
     new_state = state.replace(
         t=t + 1,
@@ -417,6 +516,7 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
         ev_efficiency=ev_eff_new,
         ev_degraded_capacity=ev_deg_new,
         wm_initiated=wm_initiated_new,
+        **occ_state,
     )
 
     ev_reward_inputs = None
@@ -452,8 +552,8 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
         dhw_storage_capacity=params.dhw_storage.capacity,
         indoor_temperature=temp_t,
         hvac_mode=hvac_mode,
-        cooling_set_point=at(series.indoor_dry_bulb_temperature_cooling_set_point),
-        heating_set_point=at(series.indoor_dry_bulb_temperature_heating_set_point),
+        cooling_set_point=csp_eff,
+        heating_set_point=hsp_eff,
         comfort_band=at(series.comfort_band),
         cooling_demand=cooling_demand_obs,
         heating_demand=heating_demand_obs,
@@ -491,5 +591,7 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
         chargers_consumption=chargers_cons_b,
         washing_machines_consumption=wm_cons_b,
         ev_soc=ev_soc_new,
+        cooling_set_point=csp_eff,
+        heating_set_point=hsp_eff,
     )
     return new_state, out

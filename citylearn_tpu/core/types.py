@@ -81,17 +81,20 @@ class SeriesData(struct.PyTreeNode):
 
 
 class DynamicsParams(struct.PyTreeNode):
-    """Stacked per-building LSTM temperature-dynamics weights
-    (reference ``citylearn/dynamics.py:15-127``; weights loaded offline from
-    the dataset ``.pth`` files). Layer axes: ``(B, 4H, F_in)`` torch gate
-    order i,f,g,o."""
-    w_ih: tuple                          # per layer: (B, 4H, F or H)
-    w_hh: tuple                          # per layer: (B, 4H, H)
-    bias: tuple                          # per layer: (B, 4H) = b_ih + b_hh
-    lin_w: jnp.ndarray                   # (B, H)
-    lin_b: jnp.ndarray                   # (B,)
-    norm_min: jnp.ndarray                # (B, F)
-    norm_max: jnp.ndarray                # (B, F)
+    """Stacked LSTM temperature-dynamics weights for one *group* of
+    buildings sharing identical shapes/channels (reference
+    ``citylearn/dynamics.py:15-127``; weights loaded offline from the
+    dataset ``.pth`` files). Districts with heterogeneous models carry a
+    tuple of groups; ``member_indices`` maps group rows to building rows.
+    Layer axes: ``(Bg, 4H, F_in)``, torch gate order i,f,g,o."""
+    member_indices: jnp.ndarray          # (Bg,) int32 building indices
+    w_ih: tuple                          # per layer: (Bg, 4H, F or H)
+    w_hh: tuple                          # per layer: (Bg, 4H, H)
+    bias: tuple                          # per layer: (Bg, 4H) = b_ih + b_hh
+    lin_w: jnp.ndarray                   # (Bg, H)
+    lin_b: jnp.ndarray                   # (Bg,)
+    norm_min: jnp.ndarray                # (Bg, F)
+    norm_max: jnp.ndarray                # (Bg, F)
     # Pre-normalized data-driven channel values, (T, B, F); dynamic channels
     # (cooling/heating demand, indoor temperature) are zero and overwritten
     # in-graph each step.
@@ -100,6 +103,23 @@ class DynamicsParams(struct.PyTreeNode):
     cooling_device_active: jnp.ndarray   # (B,) bool
     heating_device_active: jnp.ndarray
     cooling_or_heating_active: jnp.ndarray
+
+
+class OccupantParams(struct.PyTreeNode):
+    """Stochastic occupant thermostat interaction, stacked over buildings
+    (reference ``occupant.py:18-99``, ``building.py:3160-3353``)."""
+    a_increase: jnp.ndarray              # (T, B)
+    b_increase: jnp.ndarray
+    a_decrease: jnp.ndarray
+    b_decrease: jnp.ndarray
+    random_probability: jnp.ndarray      # (T,) seeded uniform draws
+    tree_children_left: jnp.ndarray      # (B, 2, N) int32
+    tree_children_right: jnp.ndarray
+    tree_feature: jnp.ndarray
+    tree_threshold: jnp.ndarray          # (B, 2, N)
+    tree_delta: jnp.ndarray
+    hold_time_steps: jnp.ndarray         # (B,) int32
+    lookback: jnp.ndarray                # (B,) int32 dynamics warm-up gate
 
 
 class ChargerParams(struct.PyTreeNode):
@@ -157,7 +177,8 @@ class DistrictParams(struct.PyTreeNode):
     # columns are zero (which matches the reference's returned-observation
     # semantics at t >= 1; see envs/environment.py).
     obs_static: jnp.ndarray
-    dynamics: Optional[DynamicsParams] = None
+    dynamics: Tuple["DynamicsParams", ...] = ()
+    occupant: Optional["OccupantParams"] = None
     chargers: Optional[ChargerParams] = None
     evs: Optional[EVParams] = None
     washing_machines: Optional[WashingMachineParams] = None
@@ -179,9 +200,13 @@ class StaticConfig:
     reward_lower_exponent: float = 2.0
     reward_higher_exponent: float = 2.0
     reward_coefficients: Tuple[float, ...] = (1.0, 1.0)  # SolarPenaltyAndComfortReward weights
-    # LSTM dynamics (uniform across dynamics buildings; has_dynamics False
-    # for districts of plain buildings)
+    # LSTM dynamics groups: per group static meta
+    # (lookback, num_layers, hidden, n_channels, temp_ch, cool_ch, heat_ch)
+    dyn_groups: Tuple[Tuple[int, int, int, int, int, int, int], ...] = ()
     has_dynamics: bool = False
+    max_lookback: int = 0
+    has_occupant: bool = False
+    occupant_tree_depth: int = 0
     has_evs: bool = False
     has_washing_machines: bool = False
     n_chargers: int = 0
@@ -189,13 +214,6 @@ class StaticConfig:
     n_washing_machines: int = 0
     # Electric_Vehicles_Reward_Function weights (reward_function.py:396-407)
     ev_reward_weights: Tuple[float, ...] = (-5.0, -2.0, -10.0, -5.0, 10.0, 5.0, 5.0)
-    lookback: int = 0
-    num_layers: int = 0
-    hidden_size: int = 0
-    n_dyn_channels: int = 0
-    dyn_temp_channel: int = -1
-    dyn_cooling_channel: int = -1
-    dyn_heating_channel: int = -1
 
     @property
     def any_outage(self) -> bool:
@@ -212,17 +230,27 @@ class EnvState(struct.PyTreeNode):
     cooling_storage_soc: jnp.ndarray
     heating_storage_soc: jnp.ndarray
     dhw_storage_soc: jnp.ndarray
-    # LSTM dynamics carry: hidden/cell (L, B, H) and the normalized input
-    # ring buffer (B, F, lookback + 1); zero-sized when has_dynamics is False
-    lstm_h: jnp.ndarray = None
-    lstm_c: jnp.ndarray = None
-    dyn_input: jnp.ndarray = None
+    # LSTM dynamics carry per group: hidden/cell (L, Bg, H) and the
+    # normalized input ring buffer (Bg, F, lookback + 1)
+    lstm_h: tuple = ()
+    lstm_c: tuple = ()
+    dyn_input: tuple = ()
     # EV + washing machine carry ((V,) / (V,) / (V,) / (W,)); zero-sized
     # when the district has none
     ev_soc: jnp.ndarray = None           # soc[t-1] entering the step
     ev_efficiency: jnp.ndarray = None
     ev_degraded_capacity: jnp.ndarray = None
     wm_initiated: jnp.ndarray = None     # bool
+    # occupant interaction carry ((B,) each; zero-sized when disabled):
+    # NaN-coded setpoint overrides, -1-coded hold counter, previous-step
+    # predicted temperature and effective setpoints (for the decision-tree
+    # features, building.py:3280-3284)
+    occ_csp_override: jnp.ndarray = None
+    occ_hsp_override: jnp.ndarray = None
+    occ_hold_counter: jnp.ndarray = None
+    occ_prev_temp: jnp.ndarray = None
+    occ_prev_csp: jnp.ndarray = None
+    occ_prev_hsp: jnp.ndarray = None
 
 
 class StepOutput(struct.PyTreeNode):
@@ -262,3 +290,5 @@ class StepOutput(struct.PyTreeNode):
     chargers_consumption: jnp.ndarray    # (B,)
     washing_machines_consumption: jnp.ndarray  # (B,)
     ev_soc: jnp.ndarray                  # (V,) soc at t after events + charges
+    cooling_set_point: jnp.ndarray       # (B,) effective (occupant-mutated)
+    heating_set_point: jnp.ndarray

@@ -49,7 +49,8 @@ class CityLearnEnv:
                  rolling_episode_split: bool = None, random_episode_split: bool = None,
                  simulation_start_time_step: int = None,
                  simulation_end_time_step: int = None, random_seed: int = None,
-                 reward_function: str = None, **kwargs: Any):
+                 reward_function: str = None, solar_generation=None,
+                 **kwargs: Any):
         self.spec: DistrictSpec = compile_schema(
             schema, root_directory=root_directory, central_agent=central_agent,
             episode_time_steps=episode_time_steps,
@@ -57,7 +58,7 @@ class CityLearnEnv:
             random_episode_split=random_episode_split,
             simulation_start_time_step=simulation_start_time_step,
             simulation_end_time_step=simulation_end_time_step,
-            random_seed=random_seed)
+            random_seed=random_seed, solar_generation=solar_generation)
         self.cfg, self.params, self.layout = pack(self.spec)
         if reward_function is not None:
             self.cfg = type(self.cfg)(**{**self.cfg.__dict__,
@@ -189,7 +190,7 @@ class CityLearnEnv:
             "cooling_storage_balance", "heating_storage_balance", "dhw_storage_balance",
             "battery_soc", "indoor_temperature",
             "cooling_demand_actual", "heating_demand_actual",
-            "chargers_cons", "wm_cons")}
+            "chargers_cons", "wm_cons", "cooling_sp", "heating_sp")}
         self._write_reset_row()
         return self.observations, self.get_info()
 
@@ -259,6 +260,10 @@ class CityLearnEnv:
             h["indoor_temperature"][0, bi] = b.series["indoor_dry_bulb_temperature"][idx]
             h["cooling_demand_actual"][0, bi] = b.series["cooling_demand"][idx]
             h["heating_demand_actual"][0, bi] = b.series["heating_demand"][idx]
+            h["cooling_sp"][0, bi] = \
+                b.series["indoor_dry_bulb_temperature_cooling_set_point"][idx]
+            h["heating_sp"][0, bi] = \
+                b.series["indoor_dry_bulb_temperature_heating_set_point"][idx]
 
     @property
     def _charger_action_slots(self):
@@ -338,6 +343,8 @@ class CityLearnEnv:
         h["heating_demand_actual"][t] = out.heating_demand_actual
         h["chargers_cons"][t] = out.chargers_consumption
         h["wm_cons"][t] = out.washing_machines_consumption
+        h["cooling_sp"][t] = out.cooling_set_point
+        h["heating_sp"][t] = out.heating_set_point
 
         reward = [float(r) for r in np.asarray(out.reward)]
         self._rewards.append(reward)
@@ -406,6 +413,23 @@ class CityLearnEnv:
                     and "power_outage" in b.active_observations:
                 vals[b.active_observations.index("power_outage")] = \
                     self._outage_np[self._t, bi]
+            if self.cfg.has_occupant and self._state is not None:
+                # occupant-mutated setpoint series affect the returned
+                # setpoint/delta observations (building.py:3295-3307)
+                ov_c = float(np.asarray(self._state.occ_csp_override)[bi])
+                ov_h = float(np.asarray(self._state.occ_hsp_override)[bi])
+                names = b.active_observations
+                idt = b.series["indoor_dry_bulb_temperature"][idx + self.spec.simulation_start_time_step]
+                for ov, sp_name, d_name in (
+                        (ov_c, "indoor_dry_bulb_temperature_cooling_set_point",
+                         "indoor_dry_bulb_temperature_cooling_delta"),
+                        (ov_h, "indoor_dry_bulb_temperature_heating_set_point",
+                         "indoor_dry_bulb_temperature_heating_delta")):
+                    if np.isfinite(ov):
+                        if sp_name in names:
+                            vals[names.index(sp_name)] = ov
+                        if d_name in names:
+                            vals[names.index(d_name)] = idt - ov
             if self._t == 0:
                 vals = self._apply_reset_corrections(bi, vals)
             per_building.append(list(vals))
@@ -474,6 +498,15 @@ class CityLearnEnv:
                     b.series["indoor_dry_bulb_temperature"][idx]
                 h["cooling_demand_actual"][self._t, bi] = b.series["cooling_demand"][idx]
                 h["heating_demand_actual"][self._t, bi] = b.series["heating_demand"][idx]
+                csp = b.series["indoor_dry_bulb_temperature_cooling_set_point"][idx]
+                hsp = b.series["indoor_dry_bulb_temperature_heating_set_point"][idx]
+                if self.cfg.has_occupant:
+                    ov_c = float(np.asarray(self._state.occ_csp_override)[bi])
+                    ov_h = float(np.asarray(self._state.occ_hsp_override)[bi])
+                    csp = ov_c if np.isfinite(ov_c) else csp
+                    hsp = ov_h if np.isfinite(ov_h) else hsp
+                h["cooling_sp"][self._t, bi] = csp
+                h["heating_sp"][self._t, bi] = hsp
         # Default evaluation conditions depend on building type
         # (citylearn.py:1194-1201): dynamics buildings normalize against the
         # no-storage *and ideal-load* baseline.
@@ -540,8 +573,8 @@ class CityLearnEnv:
                     else np.full(n, comfort_band))
             dis = kpi.discomfort_np(
                 h["indoor_temperature"][:n, bi],
-                b.series["indoor_dry_bulb_temperature_cooling_set_point"][sl],
-                b.series["indoor_dry_bulb_temperature_heating_set_point"][sl],
+                h["cooling_sp"][:n, bi],
+                h["heating_sp"][:n, bi],
                 band, b.series["occupant_count"][sl])
             net_c, cost_c, em_c = building_series(bi, control_condition)
             net_b, cost_b, em_b = building_series(bi, baseline_condition)
@@ -583,8 +616,8 @@ class CityLearnEnv:
                 "discomfort_hot_delta_average": dis[8],
                 "one_minus_thermal_resilience_proportion": kpi.one_minus_thermal_resilience_np(
                     outage, indoor_t=h["indoor_temperature"][:n, bi],
-                    cooling_set_point=b.series["indoor_dry_bulb_temperature_cooling_set_point"][sl],
-                    heating_set_point=b.series["indoor_dry_bulb_temperature_heating_set_point"][sl],
+                    cooling_set_point=h["cooling_sp"][:n, bi],
+                    heating_set_point=h["heating_sp"][:n, bi],
                     band=band, occupant_count=b.series["occupant_count"][sl]),
                 "power_outage_normalized_unserved_energy_total":
                     kpi.normalized_unserved_energy_np(expected, served, outage),
