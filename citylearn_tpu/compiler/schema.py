@@ -660,7 +660,37 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
                                if v.get("active", False) and k not in inactive_obs]
         active_actions = [k for k, v in act_schema.items()
                           if v.get("active", False) and k not in inactive_act]
-        # per-charger / per-WM expansion (reference citylearn.py:2505-2553)
+        # per-charger / per-WM / charging-constraint expansion. Empirically
+        # the reference surfaces constraint observations *before* the charger
+        # observations, in the order: phase one-hots, building headroom,
+        # phase headrooms, violation (observed from a live reference run).
+        cc = b_schema.get("charging_constraints")
+        if cc:
+            obs_cfg = cc.get("observations") or {}
+            if bool(obs_cfg.get("phase_encoding", False)) and (cc.get("phases") or []):
+                phase_map = {cid: (p.get("name") or "")
+                             for p in (cc.get("phases") or [])
+                             for cid in (p.get("chargers") or [])}
+                phase_names = sorted({p.get("name") for p in cc.get("phases")
+                                      if p.get("name")})
+                if any(ch.charger_id not in phase_map for ch in chargers):
+                    phase_names = phase_names + ["unassigned"]
+                for ch in chargers:
+                    for pn in phase_names:
+                        active_observations.append(
+                            f"charging_phase_one_hot_{ch.charger_id}_{pn}")
+            expose_headroom = bool(obs_cfg.get(
+                "headroom", cc.get("expose_observations", True)))
+            if expose_headroom:
+                if cc.get("building_limit_kw") is not None:
+                    active_observations.append("charging_building_headroom_kw")
+                for phase in (cc.get("phases") or []):
+                    if phase.get("limit_kw") is not None:
+                        name_p = phase.get("name") or "phase"
+                        active_observations.append(
+                            f"charging_phase_{name_p}_headroom_kw")
+            if bool(obs_cfg.get("violation", True)):
+                active_observations.append("charging_constraint_violation_kwh")
         for ch in chargers:
             for helper_key, template in CHARGER_OBS_EXPANSION:
                 v = charger_obs_helper.get(helper_key)
@@ -726,9 +756,12 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
             occupant=occupant,
             chargers=chargers,
             washing_machines=washing_machines,
+            charging_constraints=b_schema.get("charging_constraints"),
         )
 
         lo, hi = estimate_observation_space_limits(spec, sim_start, sim_end)
+        if "charging_constraint_violation_kwh" in hi:
+            hi["charging_constraint_violation_kwh"] *= seconds_per_time_step / 3600.0
         spec.observation_low, spec.observation_high = lo, hi
         spec.action_low, spec.action_high = estimate_action_space(spec, sim_start, sim_end)
         buildings.append(spec)

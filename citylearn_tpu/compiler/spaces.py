@@ -71,8 +71,25 @@ def estimate_observation_space_limits(
     high: Dict[str, float] = {}
     outdoor_t = data["outdoor_dry_bulb_temperature"]
 
+    total_charger_kw = sum(ch.max_charging_power or 0.0 for ch in b.chargers)
     for key in names:
-        if key == "net_electricity_consumption":
+        if key.startswith("charging_phase_one_hot_"):
+            low[key], high[key] = 0.0, 1.0
+        elif key == "charging_constraint_violation_kwh":
+            low[key] = 0.0
+            high[key] = total_charger_kw  # x seconds/3600, applied by caller ratio 1
+        elif key == "charging_building_headroom_kw":
+            cc = b.charging_constraints or {}
+            v = float(cc.get("building_limit_kw") or 0.0)
+            low[key], high[key] = v, v
+        elif key.startswith("charging_phase_") and key.endswith("_headroom_kw"):
+            pn = key[len("charging_phase_"):-len("_headroom_kw")]
+            v = 0.0
+            for phase in ((b.charging_constraints or {}).get("phases") or []):
+                if phase.get("name") == pn and phase.get("limit_kw") is not None:
+                    v = float(phase["limit_kw"])
+            low[key], high[key] = v, v
+        elif key == "net_electricity_consumption":
             lows = data["non_shiftable_load"] - (
                 b.battery.nominal_power + data["solar_generation"])
             highs = (data["non_shiftable_load"] + b.cooling_device.nominal_power

@@ -176,6 +176,7 @@ class BuildingSpec:
     occupant: Optional["OccupantSpec"] = None
     chargers: List["ChargerSpec"] = dataclasses.field(default_factory=list)
     washing_machines: List["WashingMachineSpec"] = dataclasses.field(default_factory=list)
+    charging_constraints: Optional[dict] = None
 
 
 @dataclasses.dataclass

@@ -346,6 +346,22 @@ def _ev_obs_columns(spec: DistrictSpec, T: int):
         for wm in b.washing_machines:
             cols[(bi, f"{wm.name}_start_time_step")] = wm.wm_start.astype(np.float32)
             cols[(bi, f"{wm.name}_end_time_step")] = wm.wm_end.astype(np.float32)
+        # charging-constraint phase one-hots are static data; headroom and
+        # violation columns stay zero and are overridden at runtime
+        cc = b.charging_constraints
+        if cc and (cc.get("observations") or {}).get("phase_encoding"):
+            phase_map = {cid: (p.get("name") or "")
+                         for p in (cc.get("phases") or [])
+                         for cid in (p.get("chargers") or [])}
+            for name in b.active_observations:
+                if name.startswith("charging_phase_one_hot_"):
+                    rest = name[len("charging_phase_one_hot_"):]
+                    for ch in b.chargers:
+                        if rest.startswith(ch.charger_id + "_"):
+                            pn = rest[len(ch.charger_id) + 1:]
+                            assigned = phase_map.get(ch.charger_id, "unassigned")
+                            cols[(bi, name)] = np.full(
+                                T, 1.0 if assigned == pn else 0.0, np.float32)
     return cols
 
 
@@ -386,7 +402,41 @@ def _pack_evs(spec: DistrictSpec, episode_steps: int):
                 cols.append(a[:episode_steps])
             return jnp.asarray(np.stack(cols, axis=1))
 
+        # charging-constraint tables (building.py:764-994)
+        B = spec.n_buildings
+        cc_building = np.full(B, np.inf, np.float32)
+        cc_phase_index = np.full(len(all_chargers), -1, np.int32)
+        cc_phase_limits, cc_phase_buildings = [], []
+        has_cc = False
+        cid_to_slot = {ch.charger_id: i for i, ch in enumerate(all_chargers)}
+        for b in spec.buildings:
+            cc = b.charging_constraints
+            if not cc:
+                continue
+            has_cc = True
+            if cc.get("building_limit_kw") is not None:
+                cc_building[b.index] = float(cc["building_limit_kw"])
+            for phase in (cc.get("phases") or []):
+                limit = phase.get("limit_kw")
+                pid = len(cc_phase_limits)
+                cc_phase_limits.append(np.inf if limit is None else float(limit))
+                cc_phase_buildings.append(b.index)
+                for cid in (phase.get("chargers") or []):
+                    if cid in cid_to_slot:
+                        cc_phase_index[cid_to_slot[cid]] = pid
+        if not cc_phase_limits:
+            cc_phase_limits, cc_phase_buildings = [np.inf], [0]
+        cfg["has_charging_constraints"] = has_cc
+        cfg["n_charging_phases"] = len(cc_phase_limits)
+        rb_attrs = (spec.schema.get("reward_function") or {}).get("attributes") or {}
+        cfg["charging_penalty_coefficient"] = float(
+            rb_attrs.get("charging_constraint_penalty_coefficient") or 1.0)
+
         chargers = ChargerParams(
+            cc_phase_index=jnp.asarray(cc_phase_index),
+            cc_building_limit=jnp.asarray(cc_building),
+            cc_phase_limit=jnp.asarray(np.asarray(cc_phase_limits, np.float32)),
+            cc_phase_building=jnp.asarray(np.asarray(cc_phase_buildings, np.int32)),
             efficiency=f32([ch.efficiency for ch in all_chargers]),
             max_charging_power=f32([ch.max_charging_power for ch in all_chargers]),
             min_charging_power=f32([ch.min_charging_power for ch in all_chargers]),

@@ -119,6 +119,7 @@ class EVRewardInputs(NamedTuple):
     hours_until_departure: jnp.ndarray
     max_charging_power: jnp.ndarray
     max_discharging_power: jnp.ndarray
+    violation_kwh: jnp.ndarray           # (B,) charging-constraint violations
 
 
 def _ev_reward(cfg: StaticConfig, x: RewardInputs, ev: EVRewardInputs) -> jnp.ndarray:
@@ -169,6 +170,9 @@ def _ev_reward(cfg: StaticConfig, x: RewardInputs, ev: EVRewardInputs) -> jnp.nd
         ev.connected, c_bl + c_imposs + c_under + c_close + c_esp + c_sc, 0.0)
     reward = jax.ops.segment_sum(per_charger, ev.building_index,
                                  num_segments=x.net.shape[0])
+    # charging-constraint violation penalty (reward_function.py:431-436)
+    reward = reward - jnp.maximum(ev.violation_kwh, 0.0) \
+        * cfg.charging_penalty_coefficient
     if cfg.central_agent:
         return jnp.sum(reward, keepdims=True)
     return reward

@@ -255,6 +255,9 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     # event tensors from compiler/events.py) ----
     B = nsl.shape[0]
     chargers_cons_b = jnp.zeros_like(nsl)
+    cc_violation_b = jnp.zeros_like(nsl)
+    cc_building_headroom = jnp.zeros_like(nsl)
+    cc_phase_headroom = jnp.zeros((cfg.n_charging_phases,), jnp.float32)
     ev_soc_new = state.ev_soc
     ev_eff_new = state.ev_efficiency
     ev_deg_new = state.ev_degraded_capacity
@@ -277,6 +280,48 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
         soc_read = jnp.where(is_t0, soc_evented, state.ev_soc)
 
         a = actions.get("electric_vehicle_storage", jnp.zeros(cfg.n_chargers))
+        # ---- charging constraints (building.py:901-989): positive kW
+        # requests scaled to building then phase limits; scaled-down
+        # violations tracked in kWh ----
+        if cfg.has_charging_constraints:
+            pos = (a > 0.0) & (ch.max_charging_power > 0.0)
+            req = jnp.where(pos, a * ch.max_charging_power, 0.0)
+            tot_b = jax.ops.segment_sum(req, ch.building_index, num_segments=B)
+            blim = ch.cc_building_limit
+            over_b = jnp.isfinite(blim) & (tot_b > blim)
+            scale_b = jnp.where(over_b,
+                                jnp.where(blim == 0.0, 0.0,
+                                          blim / jnp.maximum(tot_b, 1e-12)), 1.0)
+            viol_b = jnp.where(over_b, tot_b - blim, 0.0)
+            scaled1 = req * scale_b[ch.building_index]
+            pidx = jnp.where(ch.cc_phase_index >= 0, ch.cc_phase_index,
+                             cfg.n_charging_phases)
+            tot_p = jax.ops.segment_sum(scaled1, pidx,
+                                        num_segments=cfg.n_charging_phases + 1
+                                        )[:cfg.n_charging_phases]
+            plim = ch.cc_phase_limit
+            over_p = jnp.isfinite(plim) & (tot_p > plim)
+            scale_p = jnp.where(over_p,
+                                jnp.where(plim == 0.0, 0.0,
+                                          plim / jnp.maximum(tot_p, 1e-12)), 1.0)
+            viol_p = jnp.where(over_p, tot_p - plim, 0.0)
+            viol_b = viol_b + jax.ops.segment_sum(
+                viol_p, ch.cc_phase_building, num_segments=B)
+            scale_p_full = jnp.concatenate([scale_p, jnp.ones((1,))])
+            target = scaled1 * scale_p_full[pidx]
+            a = jnp.where(pos,
+                          jnp.maximum(0.0, jnp.minimum(
+                              a, target / jnp.maximum(ch.max_charging_power, 1e-12))),
+                          jnp.where((a > 0.0) & (ch.max_charging_power <= 0.0),
+                                    0.0, a))
+            used_b = jax.ops.segment_sum(target, ch.building_index, num_segments=B)
+            used_p = jax.ops.segment_sum(target, pidx,
+                                         num_segments=cfg.n_charging_phases + 1
+                                         )[:cfg.n_charging_phases]
+            cc_building_headroom = jnp.where(jnp.isfinite(blim), blim - used_b, 0.0)
+            cc_phase_headroom = jnp.where(jnp.isfinite(plim), plim - used_p, 0.0)
+            cc_violation_b = viol_b * hours_ratio
+
         charging = a > 0.0
         e_chg = jnp.maximum(jnp.minimum(a * ch.max_charging_power * hours_ratio,
                                         ch.max_charging_power), ch.min_charging_power)
@@ -537,6 +582,7 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
             hours_until_departure=jnp.take(ch.departure_time, t, axis=0),
             max_charging_power=ch.max_charging_power,
             max_discharging_power=ch.max_discharging_power,
+            violation_kwh=cc_violation_b,
         )
 
     reward = compute_reward(cfg, ev=ev_reward_inputs, x=RewardInputs(
@@ -593,5 +639,8 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
         ev_soc=ev_soc_new,
         cooling_set_point=csp_eff,
         heating_set_point=hsp_eff,
+        charging_violation_kwh=cc_violation_b,
+        charging_building_headroom=cc_building_headroom,
+        charging_phase_headroom=cc_phase_headroom,
     )
     return new_state, out

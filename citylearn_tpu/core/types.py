@@ -137,6 +137,11 @@ class ChargerParams(struct.PyTreeNode):
     departure_time: jnp.ndarray          # (T, C) float
     required_soc: jnp.ndarray            # (T, C)
     capacity_kwh: jnp.ndarray            # (T, C)
+    # charging constraints (reference building.py:764-994); +inf = no limit
+    cc_phase_index: jnp.ndarray = None   # (C,) int32 district phase id, -1 none
+    cc_building_limit: jnp.ndarray = None  # (B,) float
+    cc_phase_limit: jnp.ndarray = None     # (P,) float
+    cc_phase_building: jnp.ndarray = None  # (P,) int32
 
 
 class EVParams(struct.PyTreeNode):
@@ -207,6 +212,9 @@ class StaticConfig:
     max_lookback: int = 0
     has_occupant: bool = False
     occupant_tree_depth: int = 0
+    has_charging_constraints: bool = False
+    n_charging_phases: int = 0
+    charging_penalty_coefficient: float = 1.0
     has_evs: bool = False
     has_washing_machines: bool = False
     n_chargers: int = 0
@@ -292,3 +300,6 @@ class StepOutput(struct.PyTreeNode):
     ev_soc: jnp.ndarray                  # (V,) soc at t after events + charges
     cooling_set_point: jnp.ndarray       # (B,) effective (occupant-mutated)
     heating_set_point: jnp.ndarray
+    charging_violation_kwh: jnp.ndarray = None       # (B,)
+    charging_building_headroom: jnp.ndarray = None   # (B,)
+    charging_phase_headroom: jnp.ndarray = None      # (P,)

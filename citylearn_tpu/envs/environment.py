@@ -192,6 +192,21 @@ class CityLearnEnv:
             "cooling_demand_actual", "heating_demand_actual",
             "chargers_cons", "wm_cons", "cooling_sp", "heating_sp")}
         self._write_reset_row()
+        if self.cfg.has_charging_constraints:
+            # reference reset defaults: headroom = limits, violation 0
+            # (building.py:886-899)
+            self._cc_last = {
+                "building": np.asarray(self.params.chargers.cc_building_limit),
+                "phase": np.asarray(self.params.chargers.cc_phase_limit),
+                "violation": np.zeros(self.cfg.n_buildings, np.float32),
+            }
+            if not hasattr(self, "_cc_phase_names"):
+                names, pid = {}, 0
+                for b in self.spec.buildings:
+                    for phase in ((b.charging_constraints or {}).get("phases") or []):
+                        names[(b.index, phase.get("name"))] = pid
+                        pid += 1
+                self._cc_phase_names = names
         return self.observations, self.get_info()
 
     def _refresh_outage_signals(self):
@@ -345,6 +360,12 @@ class CityLearnEnv:
         h["wm_cons"][t] = out.washing_machines_consumption
         h["cooling_sp"][t] = out.cooling_set_point
         h["heating_sp"][t] = out.heating_set_point
+        if self.cfg.has_charging_constraints:
+            self._cc_last = {
+                "building": np.asarray(out.charging_building_headroom),
+                "phase": np.asarray(out.charging_phase_headroom),
+                "violation": np.asarray(out.charging_violation_kwh),
+            }
 
         reward = [float(r) for r in np.asarray(out.reward)]
         self._rewards.append(reward)
@@ -430,6 +451,19 @@ class CityLearnEnv:
                             vals[names.index(sp_name)] = ov
                         if d_name in names:
                             vals[names.index(d_name)] = idt - ov
+            if self.cfg.has_charging_constraints and b.charging_constraints:
+                names = b.active_observations
+                for i, name in enumerate(names):
+                    if name == "charging_building_headroom_kw":
+                        vals[i] = self._cc_last["building"][bi]
+                    elif name == "charging_constraint_violation_kwh":
+                        vals[i] = self._cc_last["violation"][bi]
+                    elif name.startswith("charging_phase_") \
+                            and name.endswith("_headroom_kw"):
+                        pn = name[len("charging_phase_"):-len("_headroom_kw")]
+                        pid = self._cc_phase_names.get((bi, pn))
+                        if pid is not None:
+                            vals[i] = self._cc_last["phase"][pid]
             if self._t == 0:
                 vals = self._apply_reset_corrections(bi, vals)
             per_building.append(list(vals))
