@@ -50,7 +50,9 @@ class CityLearnEnv:
                  simulation_start_time_step: int = None,
                  simulation_end_time_step: int = None, random_seed: int = None,
                  reward_function: str = None, solar_generation=None,
-                 **kwargs: Any):
+                 render: bool = None, render_mode: str = None,
+                 render_directory: str = None, render_session_name: str = None,
+                 start_date: str = None, **kwargs: Any):
         self.spec: DistrictSpec = compile_schema(
             schema, root_directory=root_directory, central_agent=central_agent,
             episode_time_steps=episode_time_steps,
@@ -71,6 +73,19 @@ class CityLearnEnv:
         self._episode_rewards: List[dict] = []
         self._history: dict = {}
         self._state = None
+        schema_dict = self.spec.schema
+        self.render_enabled = bool(schema_dict.get("render", False)
+                                   if render is None else render)
+        self.render_mode = render_mode or schema_dict.get("render_mode") or "during"
+        self._renderer = None
+        if self.render_enabled:
+            from citylearn_tpu.envs.render import CSVRenderer
+            self._renderer = CSVRenderer(
+                self, directory=render_directory or "render_exports",
+                session_name=render_session_name
+                or schema_dict.get("render_session_name"),
+                mode=self.render_mode,
+                start_date=start_date or schema_dict.get("start_date"))
         self.reset()
         # The reference resets the episode index after its construction-time
         # reset so the user's first reset() replays episode 0
@@ -371,11 +386,17 @@ class CityLearnEnv:
         self._rewards.append(reward)
         self._t += 1
 
+        if self._renderer is not None:
+            self._renderer.render()
+
         if self.terminated:
             r = np.array(self._rewards[1:], dtype=np.float32)
             self._episode_rewards.append({
                 "min": r.min(axis=0).tolist(), "max": r.max(axis=0).tolist(),
                 "sum": r.sum(axis=0).tolist(), "mean": r.mean(axis=0).tolist()})
+            if self._renderer is not None:
+                self._renderer.flush()
+                self._renderer.export_final_kpis()
 
         return self.observations, reward, self.terminated, self.truncated, self.get_info()
 
@@ -702,8 +723,15 @@ class CityLearnEnv:
         district_level["level"] = "district"
         return pd.concat([district_level, building_level], ignore_index=True, sort=False)
 
-    def render(self):  # pragma: no cover - parity stub, CSV export in later round
-        pass
+    def render(self):
+        if self._renderer is not None:
+            self._renderer.render()
+
+    def export_final_kpis(self, model=None, filepath: str = "exported_kpis.csv"):
+        if self._renderer is None:
+            from citylearn_tpu.envs.render import CSVRenderer
+            self._renderer = CSVRenderer(self)
+        self._renderer.export_final_kpis(filepath)
 
     def close(self):
         pass
