@@ -248,6 +248,16 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
         reward_lower_exponent=float(reward_attrs.get("lower_exponent") or 2.0),
         reward_higher_exponent=float(reward_attrs.get("higher_exponent") or 2.0),
         reward_coefficients=tuple(reward_attrs.get("coefficients") or (1.0, 1.0)),
+        any_cooling=bool(
+            any(float(b.series["cooling_demand"][sl].max()) > 0
+                or b.cooling_storage.capacity > 0 for b in spec.buildings)
+            or dyn_cfg.get("has_dynamics", False)),
+        any_heating=bool(
+            any(float(b.series["heating_demand"][sl].max()) > 0
+                or b.heating_storage.capacity > 0 for b in spec.buildings)
+            or dyn_cfg.get("has_dynamics", False)),
+        any_dhw=bool(any(float(b.series["dhw_demand"][sl].max()) > 0
+                         or b.dhw_storage.capacity > 0 for b in spec.buildings)),
         **dyn_cfg,
         **occ_cfg,
         **ev_cfg,

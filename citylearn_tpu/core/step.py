@@ -149,14 +149,25 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     # *ideal* (prefilled) demand. The heating branch uses the *dhw* device's
     # input power when the heating device is not a heat pump
     # (building.py:2629-2632) — shipped quirk.
-    reset_cool = hvac.input_power(params.cooling_device, cooling_demand_ideal, outdoor_t, False)
-    heat_in_hp = hvac.input_power(params.heating_device, heating_demand_ideal, outdoor_t, True)
-    heat_in_quirk = heating_demand_ideal / params.dhw_device.efficiency
-    reset_heat = jnp.where(params.heating_device.is_heat_pump, heat_in_hp, heat_in_quirk)
-    reset_dhw = hvac.input_power(params.dhw_device, dhw_demand, outdoor_t, True)
-    reset_nsl = nsl
-
     zero = jnp.zeros_like(nsl)
+    if cfg.any_cooling:
+        reset_cool = hvac.input_power(params.cooling_device, cooling_demand_ideal,
+                                      outdoor_t, False)
+    else:
+        reset_cool = zero
+    if cfg.any_heating:
+        heat_in_hp = hvac.input_power(params.heating_device, heating_demand_ideal,
+                                      outdoor_t, True)
+        heat_in_quirk = heating_demand_ideal / params.dhw_device.efficiency
+        reset_heat = jnp.where(params.heating_device.is_heat_pump, heat_in_hp,
+                               heat_in_quirk)
+    else:
+        reset_heat = zero
+    if cfg.any_dhw:
+        reset_dhw = hvac.input_power(params.dhw_device, dhw_demand, outdoor_t, True)
+    else:
+        reset_dhw = zero
+    reset_nsl = nsl
     t0 = lambda x: jnp.where(is_t0, x, 0.0)
     dev_init_cool = t0(reset_cool)
     dev_init_heat = t0(reset_heat)
@@ -218,22 +229,35 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     bat_discharging = bat_action < 0.0
     cons_accum = cons_accum + jnp.where(bat_discharging, bat_early.energy_balance, 0.0)
 
-    # ---- thermal blocks in priority order: cooling, heating, dhw ----
-    cool, cons_accum = _thermal_block(
-        params.cooling_device, params.cooling_storage, state.cooling_storage_soc,
-        cooling_demand, actions.get("cooling_storage", zero), outdoor_t, False,
-        params.cooling_storage.capacity, False, outage, solar_abs, cons_accum,
-        dev_init_cool, cfg)
-    heat, cons_accum = _thermal_block(
-        params.heating_device, params.heating_storage, state.heating_storage_soc,
-        heating_demand, actions.get("heating_storage", zero), outdoor_t, True,
-        params.cooling_storage.capacity,  # quirk: building.py:1720
-        True, outage, solar_abs, cons_accum, dev_init_heat, cfg)
-    dhw, cons_accum = _thermal_block(
-        params.dhw_device, params.dhw_storage, state.dhw_storage_soc,
-        dhw_demand, actions.get("dhw_storage", zero), outdoor_t, True,
-        params.heating_storage.capacity,  # quirk: building.py:1765
-        True, outage, solar_abs, cons_accum, dev_init_dhw, cfg)
+    # ---- thermal blocks in priority order: cooling, heating, dhw.
+    # Inert end-uses (no demand anywhere, no storage) prune to zeros at
+    # trace time — the math is identically zero there. ----
+    inert = _ThermalResult(soc=zero, balance=zero, device_output=zero,
+                           apply_consumption=zero)
+    if cfg.any_cooling:
+        cool, cons_accum = _thermal_block(
+            params.cooling_device, params.cooling_storage, state.cooling_storage_soc,
+            cooling_demand, actions.get("cooling_storage", zero), outdoor_t, False,
+            params.cooling_storage.capacity, False, outage, solar_abs, cons_accum,
+            dev_init_cool, cfg)
+    else:
+        cool = inert._replace(soc=state.cooling_storage_soc)
+    if cfg.any_heating:
+        heat, cons_accum = _thermal_block(
+            params.heating_device, params.heating_storage, state.heating_storage_soc,
+            heating_demand, actions.get("heating_storage", zero), outdoor_t, True,
+            params.cooling_storage.capacity,  # quirk: building.py:1720
+            True, outage, solar_abs, cons_accum, dev_init_heat, cfg)
+    else:
+        heat = inert._replace(soc=state.heating_storage_soc)
+    if cfg.any_dhw:
+        dhw, cons_accum = _thermal_block(
+            params.dhw_device, params.dhw_storage, state.dhw_storage_soc,
+            dhw_demand, actions.get("dhw_storage", zero), outdoor_t, True,
+            params.heating_storage.capacity,  # quirk: building.py:1765
+            True, outage, solar_abs, cons_accum, dev_init_dhw, cfg)
+    else:
+        dhw = inert._replace(soc=state.dhw_storage_soc)
 
     # ---- non-shiftable load (building.py:1784-1789) ----
     nsl_met = jnp.minimum(nsl, _flex(outage, solar_abs, cons_accum))
@@ -391,14 +415,24 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     bat_cons = bat_balance
 
     # t == 0 branch of update_variables re-adds demand-derived consumption
-    uv_cool = hvac.input_power(params.cooling_device,
-                               cool.device_output + cool.balance, outdoor_t, False)
-    uv_heat_hp = hvac.input_power(params.heating_device,
-                                  heat.device_output + heat.balance, outdoor_t, True)
-    uv_heat = jnp.where(params.heating_device.is_heat_pump, uv_heat_hp,
-                        (heat.device_output + heat.balance) / params.dhw_device.efficiency)
-    uv_dhw = hvac.input_power(params.dhw_device,
-                              dhw.device_output + dhw.balance, outdoor_t, True)
+    if cfg.any_cooling:
+        uv_cool = hvac.input_power(params.cooling_device,
+                                   cool.device_output + cool.balance, outdoor_t, False)
+    else:
+        uv_cool = zero
+    if cfg.any_heating:
+        uv_heat_hp = hvac.input_power(params.heating_device,
+                                      heat.device_output + heat.balance, outdoor_t, True)
+        uv_heat = jnp.where(
+            params.heating_device.is_heat_pump, uv_heat_hp,
+            (heat.device_output + heat.balance) / params.dhw_device.efficiency)
+    else:
+        uv_heat = zero
+    if cfg.any_dhw:
+        uv_dhw = hvac.input_power(params.dhw_device,
+                                  dhw.device_output + dhw.balance, outdoor_t, True)
+    else:
+        uv_dhw = zero
 
     cool_total = cool_cons + t0(reset_cool + uv_cool)
     heat_total = heat_cons + t0(reset_heat + uv_heat)
@@ -415,9 +449,12 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
 
     # storage electricity consumption series for counterfactual KPIs
     # (building.py:414-464): device input power of the tank balance.
-    cool_store_cons = hvac.input_power(params.cooling_device, cool.balance, outdoor_t, False)
-    heat_store_cons = hvac.input_power(params.heating_device, heat.balance, outdoor_t, True)
-    dhw_store_cons = hvac.input_power(params.dhw_device, dhw.balance, outdoor_t, True)
+    cool_store_cons = hvac.input_power(params.cooling_device, cool.balance,
+                                       outdoor_t, False) if cfg.any_cooling else zero
+    heat_store_cons = hvac.input_power(params.heating_device, heat.balance,
+                                       outdoor_t, True) if cfg.any_heating else zero
+    dhw_store_cons = hvac.input_power(params.dhw_device, dhw.balance,
+                                      outdoor_t, True) if cfg.any_dhw else zero
 
     # ---- LSTM temperature dynamics (building.py:2935-3078) ----
     # fresh demand observations (building.py:1435-1437)

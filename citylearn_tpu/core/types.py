@@ -215,6 +215,10 @@ class StaticConfig:
     has_charging_constraints: bool = False
     n_charging_phases: int = 0
     charging_penalty_coefficient: float = 1.0
+    # static activity flags let jit prune inert subsystem blocks entirely
+    any_cooling: bool = True             # any cooling demand or storage
+    any_heating: bool = True
+    any_dhw: bool = True
     has_evs: bool = False
     has_washing_machines: bool = False
     n_chargers: int = 0
