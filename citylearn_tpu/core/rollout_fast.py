@@ -12,6 +12,8 @@ import jax.numpy as jnp
 from citylearn_tpu.core.types import DistrictParams, StaticConfig
 from citylearn_tpu.ops.pallas_battery import T_CHUNK, TILE_D, battery_episode
 
+B_PAD = 128   # TPU lane tiling: the building axis pads to one lane tile
+
 
 def eligible(cfg: StaticConfig) -> bool:
     """Battery+PV-only districts with no outage/dynamics/EV/WM — the
@@ -38,7 +40,16 @@ def run_battery_episode(cfg: StaticConfig, params: DistrictParams,
     S = (cfg.time_steps - 1) if n_steps is None else n_steps
     assert n_districts % TILE_D == 0, f"n_districts must be a multiple of {TILE_D}"
 
-    series_np = [np.asarray(x, np.float32) for x in (
+    B = params.battery.capacity.shape[0]
+    assert B <= B_PAD, f"at most {B_PAD} buildings on the fast path"
+
+    def pad_b(arr):
+        arr = np.asarray(arr, np.float32)
+        out = np.zeros(arr.shape[:-1] + (B_PAD,), np.float32)
+        out[..., :B] = arr
+        return out
+
+    series_np = [pad_b(x) for x in (
         params.series.non_shiftable_load, params.series.solar_generation,
         params.series.electricity_pricing, params.series.carbon_intensity)]
     t_pad = ((S + T_CHUNK - 1) // T_CHUNK) * T_CHUNK
@@ -49,18 +60,30 @@ def run_battery_episode(cfg: StaticConfig, params: DistrictParams,
     actions[:S] = np.asarray(action_table, np.float32)[hours - 1]
 
     bat = params.battery
-    bparams = jnp.stack([
+    bparams = jnp.asarray(np.stack([pad_b(x) for x in (
         bat.capacity, bat.nominal_power, bat.loss_coefficient,
         bat.initial_soc, bat.depth_of_discharge, bat.capacity_loss_coefficient,
-        jnp.zeros_like(bat.capacity), jnp.zeros_like(bat.capacity)])
-    curves = (bat.power_efficiency_curve_x, bat.power_efficiency_curve_y,
-              bat.capacity_power_curve_x, bat.capacity_power_curve_y)
+        np.zeros(B), np.zeros(B))]))
+
+    def pad_curve_rows(x, identity):
+        arr = np.asarray(x, np.float32)
+        out = np.tile(identity[None, :].astype(np.float32), (B_PAD, 1))
+        out[:B] = arr
+        return jnp.asarray(out)
+
+    P = bat.power_efficiency_curve_x.shape[1]
+    ident_x = np.linspace(0, 1, P)
+    curves = (pad_curve_rows(bat.power_efficiency_curve_x, ident_x),
+              pad_curve_rows(bat.power_efficiency_curve_y, np.ones(P)),
+              pad_curve_rows(bat.capacity_power_curve_x, ident_x),
+              pad_curve_rows(bat.capacity_power_curve_y, np.ones(P)))
 
     D = n_districts
-    B = bat.capacity.shape[0]
-    tile = lambda v: jnp.broadcast_to(v[None, :], (D, B))
-    return battery_episode(
+    tile = lambda v: jnp.asarray(
+        np.broadcast_to(pad_b(np.asarray(v))[None, :], (D, B_PAD)).copy())
+    out = battery_episode(
         jnp.asarray(actions), series, bparams, curves,
         tile(bat.initial_soc), tile(bat.efficiency), tile(bat.capacity),
         n_steps=S, hours_ratio=cfg.seconds_per_time_step / 3600.0,
         ratio=cfg.time_step_ratio)
+    return tuple(o[:, :B] for o in out)
