@@ -142,13 +142,16 @@ def _episode_kernel(actions_ref,            # scalar prefetch: (S,) f32
             nsl_term = jnp.where(is_t0, 3.0 * nsl, nsl)
             bat_term = jnp.where(is_t0, 2.0 * balance, balance)
             net = nsl_term + bat_term - solar
-            rew = rew - jnp.maximum(net, 0.0)
-            cost = cost + jnp.maximum(net * price, 0.0)
-            emis = emis + jnp.maximum(net * carbon, 0.0)
-            return new_soc, new_eff, new_deg, rew, cost, emis
+            # static trip counts everywhere: steps past n_steps are no-ops
+            live = t < n_steps
+            keep = lambda new, old: jnp.where(live, new, old)
+            rew = keep(rew - jnp.maximum(net, 0.0), rew)
+            cost = keep(cost + jnp.maximum(net * price, 0.0), cost)
+            emis = keep(emis + jnp.maximum(net * carbon, 0.0), emis)
+            return (keep(new_soc, soc), keep(new_eff, eff),
+                    keep(new_deg, deg), rew, cost, emis)
 
-        steps_here = jnp.minimum(n_steps - ci * T_CHUNK, T_CHUNK)
-        return jax.lax.fori_loop(0, steps_here, step_body,
+        return jax.lax.fori_loop(0, T_CHUNK, step_body,
                                  (soc, eff, deg, rew, cost, emis))
 
     zeros = jnp.zeros_like(soc0_ref[:, :])
