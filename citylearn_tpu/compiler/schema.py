@@ -16,6 +16,10 @@ import numpy as np
 import pandas as pd
 
 from citylearn_tpu.compiler import seeding
+from citylearn_tpu.compiler.spaces import (
+    estimate_action_space,
+    estimate_observation_space_limits,
+)
 from citylearn_tpu.compiler.spec import (
     CURVE_PAD,
     DEFAULT_COMFORT_BAND,
@@ -119,7 +123,6 @@ def _load_dynamics(block: dict, root: str) -> DynamicsSpec:
     spec.lin_b = float(sd["l_linear.bias"].numpy().reshape(())) \
         if sd["l_linear.bias"].numel() == 1 else float(sd["l_linear.bias"].numpy()[0])
     return spec
-from citylearn_tpu.compiler.spaces import estimate_action_space, estimate_observation_space_limits
 
 # CSV -> series field lists (reference citylearn/data.py:341-661)
 ENERGY_SIM_INT_FIELDS = ["month", "hour", "day_type", "daylight_savings_status", "hvac_mode"]
