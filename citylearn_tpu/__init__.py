@@ -34,3 +34,4 @@ if _os.environ.get("CITYLEARN_TPU_PLATFORM"):
 
 from citylearn_tpu.compiler.schema import compile_schema  # noqa: F401
 from citylearn_tpu.envs.environment import CityLearnEnv  # noqa: F401
+from citylearn_tpu.envs.views import EvaluationCondition  # noqa: F401

@@ -17,6 +17,7 @@ Reproduces the reference's exact external contract:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, List, Mapping, Optional, Tuple, Union
 
 import numpy as np
@@ -53,6 +54,10 @@ class CityLearnEnv:
                  render: bool = None, render_mode: str = None,
                  render_directory: str = None, render_session_name: str = None,
                  start_date: str = None, **kwargs: Any):
+        if isinstance(schema, str) and not os.path.exists(schema):
+            # named bundled/cached dataset (reference citylearn.py:863-884)
+            from citylearn_tpu.data import DataSet
+            schema = DataSet().get_schema_path(schema)
         self.spec: DistrictSpec = compile_schema(
             schema, root_directory=root_directory, central_agent=central_agent,
             episode_time_steps=episode_time_steps,
@@ -100,8 +105,72 @@ class CityLearnEnv:
         return self.spec.central_agent
 
     @property
-    def buildings(self):
-        return self.spec.buildings
+    def buildings(self) -> List["BuildingView"]:
+        """Live building views (drop-ins for ``citylearn.building.Building``)
+        reading per-episode series from the fused step's history arrays."""
+        from citylearn_tpu.envs.views import BuildingView
+        if getattr(self, "_building_views", None) is None:
+            self._building_views = [BuildingView(self, bi, b)
+                                    for bi, b in enumerate(self.spec.buildings)]
+        return self._building_views
+
+    # ------------------------------------------------------------------
+    # district-level series (reference citylearn.py:645-960)
+    # ------------------------------------------------------------------
+    def _district_sum(self, condition: str) -> np.ndarray:
+        return np.sum([self._building_series(bi, condition)[0]
+                       for bi in range(self.cfg.n_buildings)], axis=0)
+
+    @property
+    def net_electricity_consumption(self) -> np.ndarray:
+        self._sync_unwritten_row()
+        return self._history["net"][: self._t + 1].sum(axis=1)
+
+    @property
+    def net_electricity_consumption_cost(self) -> np.ndarray:
+        self._sync_unwritten_row()
+        return self._history["cost"][: self._t + 1].sum(axis=1)
+
+    @property
+    def net_electricity_consumption_emission(self) -> np.ndarray:
+        self._sync_unwritten_row()
+        return self._history["emission"][: self._t + 1].sum(axis=1)
+
+    @property
+    def net_electricity_consumption_without_storage(self) -> np.ndarray:
+        return self._district_sum("_without_storage")
+
+    @property
+    def net_electricity_consumption_without_storage_and_pv(self) -> np.ndarray:
+        return self._district_sum("_without_storage_and_pv")
+
+    @property
+    def net_electricity_consumption_without_storage_and_partial_load(self) -> np.ndarray:
+        return self._district_sum("_without_storage_and_partial_load")
+
+    @property
+    def net_electricity_consumption_without_storage_and_partial_load_and_pv(self) -> np.ndarray:
+        return self._district_sum("_without_storage_and_partial_load_and_pv")
+
+    def load_agent(self, agent=None, **kwargs):
+        """Instantiate the schema-defined (or explicitly given) agent on
+        this env (reference ``citylearn.py:1920-1971``). ``agent`` may be a
+        class, a dotted path (``citylearn.agents.*`` paths are aliased to
+        the TPU-native implementations), or None to use ``schema:agent``."""
+        from citylearn_tpu.cli import resolve_class
+        attributes = dict(kwargs)
+        if agent is None:
+            block = (self.spec.schema or {}).get("agent") or {}
+            agent_type = block.get("type", "citylearn_tpu.agents.base.Agent")
+            attrs = dict(block.get("attributes") or {})
+            attrs.update(attributes)
+            attributes = attrs
+        elif isinstance(agent, str):
+            agent_type = agent
+        else:
+            agent_type = f"{agent.__module__}.{agent.__name__}"
+        cls = resolve_class(agent_type)
+        return cls(self, **attributes)
 
     @property
     def time_step(self) -> int:
@@ -203,9 +272,12 @@ class CityLearnEnv:
             "dhw_storage_cons", "battery_cons", "solar", "cooling_demand_met",
             "heating_demand_met", "dhw_demand_met", "non_shiftable_load_met",
             "cooling_storage_balance", "heating_storage_balance", "dhw_storage_balance",
-            "battery_soc", "indoor_temperature",
+            "battery_soc", "battery_balance", "indoor_temperature",
             "cooling_demand_actual", "heating_demand_actual",
-            "chargers_cons", "wm_cons", "cooling_sp", "heating_sp")}
+            "chargers_cons", "wm_cons", "cooling_sp", "heating_sp",
+            "cooling_cons", "heating_cons", "dhw_cons", "nsl_cons",
+            "cooling_storage_soc", "heating_storage_soc", "dhw_storage_soc")}
+        self._synced_t = 0
         self._write_reset_row()
         if self.cfg.has_charging_constraints:
             # reference reset defaults: headroom = limits, violation 0
@@ -287,6 +359,13 @@ class CityLearnEnv:
             h["dhw_demand_met"][0, bi] = b.series["dhw_demand"][idx]
             h["non_shiftable_load_met"][0, bi] = b.series["non_shiftable_load"][idx]
             h["battery_soc"][0, bi] = b.battery.initial_soc
+            h["cooling_storage_soc"][0, bi] = b.cooling_storage.initial_soc
+            h["heating_storage_soc"][0, bi] = b.heating_storage.initial_soc
+            h["dhw_storage_soc"][0, bi] = b.dhw_storage.initial_soc
+            h["cooling_cons"][0, bi] = cools[bi]
+            h["heating_cons"][0, bi] = heats[bi]
+            h["dhw_cons"][0, bi] = dhws[bi]
+            h["nsl_cons"][0, bi] = nsls[bi]
             h["indoor_temperature"][0, bi] = b.series["indoor_dry_bulb_temperature"][idx]
             h["cooling_demand_actual"][0, bi] = b.series["cooling_demand"][idx]
             h["heating_demand_actual"][0, bi] = b.series["heating_demand"][idx]
@@ -368,6 +447,14 @@ class CityLearnEnv:
         h["heating_storage_balance"][t] = out.heating_storage_balance
         h["dhw_storage_balance"][t] = out.dhw_storage_balance
         h["battery_soc"][t] = out.battery_soc
+        h["battery_balance"][t] = out.battery_balance
+        h["cooling_cons"][t] = out.cooling_consumption
+        h["heating_cons"][t] = out.heating_consumption
+        h["dhw_cons"][t] = out.dhw_consumption
+        h["nsl_cons"][t] = out.non_shiftable_consumption
+        h["cooling_storage_soc"][t] = out.cooling_storage_soc
+        h["heating_storage_soc"][t] = out.heating_storage_soc
+        h["dhw_storage_soc"][t] = out.dhw_storage_soc
         h["indoor_temperature"][t] = out.indoor_temperature
         h["cooling_demand_actual"][t] = out.cooling_demand_actual
         h["heating_demand_actual"][t] = out.heating_demand_actual
@@ -385,6 +472,7 @@ class CityLearnEnv:
         reward = [float(r) for r in np.asarray(out.reward)]
         self._rewards.append(reward)
         self._t += 1
+        self._synced_t = -1  # current row is now unwritten
 
         if self._renderer is not None:
             self._renderer.render()
@@ -445,6 +533,21 @@ class CityLearnEnv:
     def observations(self) -> List[List[float]]:
         """Observations at the current time step (reference
         citylearn.py:451-485 semantics, including stale derived values)."""
+        per_building = self._building_observations()
+        if not self.central_agent:
+            return per_building
+        merged, seen_shared = [], []
+        for bi, b in enumerate(self.spec.buildings):
+            for name, v in zip(b.active_observations, per_building[bi]):
+                if bi == 0 or name not in self.spec.shared_observations \
+                        or name not in seen_shared:
+                    merged.append(v)
+                if name in self.spec.shared_observations and name not in seen_shared:
+                    seen_shared.append(name)
+        return [merged]
+
+    def _building_observations(self) -> List[List[float]]:
+        """Per-building observation value lists at the current step."""
         idx = self._offset + self._t
         row = self._obs_static_np[idx]  # (B, K)
         per_building = []
@@ -488,17 +591,7 @@ class CityLearnEnv:
             if self._t == 0:
                 vals = self._apply_reset_corrections(bi, vals)
             per_building.append(list(vals))
-        if not self.central_agent:
-            return per_building
-        merged, seen_shared = [], []
-        for bi, b in enumerate(self.spec.buildings):
-            for name, v in zip(b.active_observations, per_building[bi]):
-                if bi == 0 or name not in self.spec.shared_observations \
-                        or name not in seen_shared:
-                    merged.append(v)
-                if name in self.spec.shared_observations and name not in seen_shared:
-                    seen_shared.append(name)
-        return [merged]
+        return per_building
 
     def _apply_reset_corrections(self, bi: int, vals: np.ndarray) -> np.ndarray:
         """At reset, index 0 *has* been written by the reset-time
@@ -532,94 +625,110 @@ class CityLearnEnv:
     # ------------------------------------------------------------------
     # evaluation (reference citylearn.py:1136-1323)
     # ------------------------------------------------------------------
-    def evaluate(self, control_condition: str = None, baseline_condition: str = None,
-                 comfort_band: float = None):
-        import pandas as pd
+    def _sync_unwritten_row(self):
+        """Index ``self._t`` has not been written by a step yet (the
+        reference's ``energy_from_*`` arrays are *prefilled* with the raw
+        demand series at reset, ``building.py:2554-2558``, so the un-stepped
+        row reads as demand fully met with zero storage activity). Patch it,
+        except at t == 0 where the reset row already holds the correct
+        values."""
+        if self._synced_t == self._t or self._t < 1:
+            self._synced_t = self._t
+            return
+        h = self._history
+        idx = self.episode_tracker.episode_start_time_step + self._t
+        for bi, b in enumerate(self.spec.buildings):
+            h["cooling_demand_met"][self._t, bi] = b.series["cooling_demand"][idx]
+            h["heating_demand_met"][self._t, bi] = b.series["heating_demand"][idx]
+            h["dhw_demand_met"][self._t, bi] = b.series["dhw_demand"][idx]
+            h["non_shiftable_load_met"][self._t, bi] = b.series["non_shiftable_load"][idx]
+            h["indoor_temperature"][self._t, bi] = \
+                b.series["indoor_dry_bulb_temperature"][idx]
+            h["cooling_demand_actual"][self._t, bi] = b.series["cooling_demand"][idx]
+            h["heating_demand_actual"][self._t, bi] = b.series["heating_demand"][idx]
+            csp = b.series["indoor_dry_bulb_temperature_cooling_set_point"][idx]
+            hsp = b.series["indoor_dry_bulb_temperature_heating_set_point"][idx]
+            if self.cfg.has_occupant:
+                ov_c = float(np.asarray(self._state.occ_csp_override)[bi])
+                ov_h = float(np.asarray(self._state.occ_hsp_override)[bi])
+                csp = ov_c if np.isfinite(ov_c) else csp
+                hsp = ov_h if np.isfinite(ov_h) else hsp
+            h["cooling_sp"][self._t, bi] = csp
+            h["heating_sp"][self._t, bi] = hsp
+        self._synced_t = self._t
+
+    def _building_series(self, bi: int, condition: str):
+        """(net, cost, emission) float64 series of length ``t + 1`` for one
+        building under an evaluation condition (reference counterfactual
+        properties, ``building.py:308-476,2863-2933``)."""
+        self._sync_unwritten_row()
         h = self._history
         n = self._t + 1
-        # Index self._t has not been written by a step yet (the reference's
-        # energy_from_* arrays are *prefilled* with the raw demand series at
-        # reset, building.py:2554-2558, so the un-stepped row reads as
-        # demand fully met with zero storage activity). Patch it, except at
-        # t == 0 where the reset row already holds the correct values.
-        if self._t >= 1:
-            idx = self.episode_tracker.episode_start_time_step + self._t
-            for bi, b in enumerate(self.spec.buildings):
-                h["cooling_demand_met"][self._t, bi] = b.series["cooling_demand"][idx]
-                h["heating_demand_met"][self._t, bi] = b.series["heating_demand"][idx]
-                h["dhw_demand_met"][self._t, bi] = b.series["dhw_demand"][idx]
-                h["non_shiftable_load_met"][self._t, bi] = b.series["non_shiftable_load"][idx]
-                h["indoor_temperature"][self._t, bi] = \
-                    b.series["indoor_dry_bulb_temperature"][idx]
-                h["cooling_demand_actual"][self._t, bi] = b.series["cooling_demand"][idx]
-                h["heating_demand_actual"][self._t, bi] = b.series["heating_demand"][idx]
-                csp = b.series["indoor_dry_bulb_temperature_cooling_set_point"][idx]
-                hsp = b.series["indoor_dry_bulb_temperature_heating_set_point"][idx]
-                if self.cfg.has_occupant:
-                    ov_c = float(np.asarray(self._state.occ_csp_override)[bi])
-                    ov_h = float(np.asarray(self._state.occ_hsp_override)[bi])
-                    csp = ov_c if np.isfinite(ov_c) else csp
-                    hsp = ov_h if np.isfinite(ov_h) else hsp
-                h["cooling_sp"][self._t, bi] = csp
-                h["heating_sp"][self._t, bi] = hsp
+        sl = slice(self.episode_tracker.episode_start_time_step,
+                   self.episode_tracker.episode_start_time_step + n)
+        b = self.spec.buildings[bi]
+        net = h["net"][:n, bi].astype(np.float64)
+        # without_storage subtracts charger consumption too (building.py:360-366)
+        storage = (h["cooling_storage_cons"][:n, bi] + h["heating_storage_cons"][:n, bi]
+                   + h["dhw_storage_cons"][:n, bi] + h["battery_cons"][:n, bi]
+                   + h["chargers_cons"][:n, bi]).astype(np.float64)
+        solar = h["solar"][:n, bi].astype(np.float64)
+        if condition == "":
+            base = net
+        elif condition.startswith("_without_storage"):
+            base = net - storage
+            if "_and_partial_load" in condition:
+                # DynamicsBuilding counterfactual (building.py:2876-2905):
+                # add back the ideal-vs-partial load consumption delta.
+                t_series = b.series["outdoor_dry_bulb_temperature"][sl].astype(np.float64)
+                cool_diff = (b.series["cooling_demand"][sl].astype(np.float64)
+                             - h["cooling_demand_actual"][:n, bi].astype(np.float64))
+                base = base + _hvac_input_power_np(
+                    b.cooling_device, cool_diff, t_series, False)
+                heat_diff = (b.series["heating_demand"][sl].astype(np.float64)
+                             - h["heating_demand_actual"][:n, bi].astype(np.float64))
+                if b.heating_device.is_heat_pump:
+                    # quirk: the reference uses the *scalar* outdoor
+                    # temperature at the current time step for the whole
+                    # heating series (building.py:2893-2897)
+                    t_now = float(b.series["outdoor_dry_bulb_temperature"][
+                        self.episode_tracker.episode_start_time_step + n - 1])
+                    base = base + _hvac_input_power_np(
+                        b.heating_device, heat_diff, t_now, True)
+                else:
+                    base = base + heat_diff / b.dhw_device.efficiency
+            if condition.endswith("_and_pv"):
+                base = base - solar
+        else:
+            raise ValueError(condition)
+        price = b.series["electricity_pricing"][sl].astype(np.float64)
+        carbon = b.series["carbon_intensity"][sl].astype(np.float64)
+        if condition == "":
+            cost = h["cost"][:n, bi].astype(np.float64)
+            emission = h["emission"][:n, bi].astype(np.float64)
+        else:
+            cost = base * price
+            emission = np.clip(base * carbon, 0, None)
+        return base, cost, emission
+
+    def evaluate(self, control_condition=None, baseline_condition=None,
+                 comfort_band: float = None):
+        import pandas as pd
+        from citylearn_tpu.envs.views import _condition_value
+        self._sync_unwritten_row()
+        h = self._history
+        n = self._t + 1
         # Default evaluation conditions depend on building type
         # (citylearn.py:1194-1201): dynamics buildings normalize against the
         # no-storage *and ideal-load* baseline.
         has_dynamics = self.spec.buildings[0].dynamics is not None
-        control_condition = control_condition or ""
+        control_condition = _condition_value(control_condition) or ""
+        baseline_condition = _condition_value(baseline_condition)
         if baseline_condition is None:
             baseline_condition = ("_without_storage_and_partial_load"
                                   if has_dynamics else "_without_storage")
 
-        def building_series(bi, condition):
-            sl = slice(self.episode_tracker.episode_start_time_step,
-                       self.episode_tracker.episode_start_time_step + n)
-            b = self.spec.buildings[bi]
-            net = h["net"][:n, bi].astype(np.float64)
-            # without_storage subtracts charger consumption too (building.py:360-366)
-            storage = (h["cooling_storage_cons"][:n, bi] + h["heating_storage_cons"][:n, bi]
-                       + h["dhw_storage_cons"][:n, bi] + h["battery_cons"][:n, bi]
-                       + h["chargers_cons"][:n, bi]).astype(np.float64)
-            solar = h["solar"][:n, bi].astype(np.float64)
-            if condition == "":
-                base = net
-            elif condition.startswith("_without_storage"):
-                base = net - storage
-                if "_and_partial_load" in condition:
-                    # DynamicsBuilding counterfactual (building.py:2876-2905):
-                    # add back the ideal-vs-partial load consumption delta.
-                    from citylearn_tpu.compiler.spaces import _hvac_input_power_np
-                    t_series = b.series["outdoor_dry_bulb_temperature"][sl].astype(np.float64)
-                    cool_diff = (b.series["cooling_demand"][sl].astype(np.float64)
-                                 - h["cooling_demand_actual"][:n, bi].astype(np.float64))
-                    base = base + _hvac_input_power_np(
-                        b.cooling_device, cool_diff, t_series, False)
-                    heat_diff = (b.series["heating_demand"][sl].astype(np.float64)
-                                 - h["heating_demand_actual"][:n, bi].astype(np.float64))
-                    if b.heating_device.is_heat_pump:
-                        # quirk: the reference uses the *scalar* outdoor
-                        # temperature at the current time step for the whole
-                        # heating series (building.py:2893-2897)
-                        t_now = float(b.series["outdoor_dry_bulb_temperature"][
-                            self.episode_tracker.episode_start_time_step + n - 1])
-                        base = base + _hvac_input_power_np(
-                            b.heating_device, heat_diff, t_now, True)
-                    else:
-                        base = base + heat_diff / b.dhw_device.efficiency
-                if condition.endswith("_and_pv"):
-                    base = base - solar
-            else:
-                raise ValueError(condition)
-            price = b.series["electricity_pricing"][sl].astype(np.float64)
-            carbon = b.series["carbon_intensity"][sl].astype(np.float64)
-            if condition == "":
-                cost = h["cost"][:n, bi].astype(np.float64)
-                emission = h["emission"][:n, bi].astype(np.float64)
-            else:
-                cost = base * price
-                emission = np.clip(base * carbon, 0, None)
-            return base, cost, emission
-
+        building_series = self._building_series
         rows = []
         for bi, b in enumerate(self.spec.buildings):
             sl = slice(self.episode_tracker.episode_start_time_step,
