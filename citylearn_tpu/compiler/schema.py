@@ -606,12 +606,37 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
                 battery, bat_block, series, sim_start, sim_end,
                 cooling_device, heating_device, dhw_device,
                 dev_seed("electrical_storage", bat_block), time_step_ratio)
-        if (pv_block or {}).get("autosize") and pv_nominal > 0:
-            raise NotImplementedError(
-                "PV autosize requires NREL PySAM + LBNL Tracking-the-Sun "
-                "sizing data (reference energy_model.py:491-602), neither of "
-                "which is available offline; pass solar_generation=False to "
-                "disable PV for this building")
+        if (pv_block or {}).get("autosize"):
+            # Reference autosize_pv (building.py:2426-2441): annual mean of
+            # the baseline consumption estimate sized against a sampled PV
+            # design simulated over the dataset's EPW weather file.
+            from citylearn_tpu.compiler.pv_autosize import autosize_pv
+            from citylearn_tpu.compiler.spaces import _hvac_input_power_np
+
+            baseline = (
+                _hvac_input_power_np(cooling_device, series["cooling_demand"][sim_sl],
+                                     outdoor_t, False)
+                + _hvac_input_power_np(heating_device, series["heating_demand"][sim_sl],
+                                       outdoor_t, True)
+                + _hvac_input_power_np(dhw_device, series["dhw_demand"][sim_sl],
+                                       outdoor_t, True)
+                + series["non_shiftable_load"][sim_sl])
+            # year grouping is 8760 steps irrespective of cadence
+            # (building.py:2437: spt*24*365/spt)
+            years = np.arange(len(baseline)) // (24 * 365)
+            demand = float(np.mean([baseline[years == y].sum()
+                                    for y in range(int(years[-1]) + 1)]))
+            kwargs = dict(pv_block.get("autosize_attributes") or {})
+            epw_path = os.path.join(root, kwargs.pop("epw_filepath"))
+            pv_nominal, ac_per_kw = autosize_pv(
+                demand, epw_path, dev_seed("pv", pv_block),
+                use_sample_target=kwargs.get("use_sample_target"),
+                zero_net_energy_proportion=kwargs.get("zero_net_energy_proportion"),
+                roof_area=kwargs.get("roof_area"),
+                safety_factor=kwargs.get("safety_factor"),
+                sizing_data=kwargs.get("sizing_data"))
+            reps = -(-n // len(ac_per_kw))   # tile if the sim spans >1 year
+            series["solar_generation"] = np.tile(ac_per_kw, reps)[:n].astype(np.float32)
 
         # --- chargers + washing machines --------------------------------
         chargers: List[ChargerSpec] = []
