@@ -642,8 +642,18 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
         chargers: List[ChargerSpec] = []
         for charger_name, charger_cfg in (b_schema.get("chargers") or {}).items():
             attrs = charger_cfg.get("attributes") or {}
-            if attrs.get("charge_efficiency_curve") or attrs.get("discharge_efficiency_curve"):
-                raise NotImplementedError("charger efficiency curves not yet supported")
+            ch_eff = float(attrs.get("efficiency") or 1.0)
+
+            def _eff_curve(curve):
+                # power-dependent efficiency (charger.py:252-281): schema
+                # stores [[power, eff], ...]; constant at `efficiency` when
+                # absent so jnp.interp degenerates to the scalar
+                if curve is None:
+                    curve = [[0.0, ch_eff], [1.0, ch_eff]]
+                return seeding.pad_curve(curve, CURVE_PAD)
+
+            cex, cey = _eff_curve(attrs.get("charge_efficiency_curve"))
+            dex, dey = _eff_curve(attrs.get("discharge_efficiency_curve"))
             sim = _load_charger_sim(
                 os.path.join(root, charger_cfg["charger_simulation"]),
                 sim_start, sim_end, ev_name_to_index,
@@ -651,7 +661,9 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
             chargers.append(ChargerSpec(
                 charger_id=charger_name,
                 building_index=b_index,
-                efficiency=float(attrs.get("efficiency") or 1.0),
+                efficiency=ch_eff,
+                charge_eff_x=cex, charge_eff_y=cey,
+                discharge_eff_x=dex, discharge_eff_y=dey,
                 max_charging_power=float(attrs["max_charging_power"]
                                          if attrs.get("max_charging_power") is not None else 50.0),
                 min_charging_power=float(attrs.get("min_charging_power") or 0.0),

@@ -116,6 +116,13 @@ class ChargerSpec:
     min_charging_power: float = 0.0
     max_discharging_power: float = 50.0
     min_discharging_power: float = 0.0
+    # power-dependent efficiency curves interpolated at |action|
+    # (reference electric_vehicle_charger.py:252-281); padded (CURVE_PAD,),
+    # constant-at-``efficiency`` when the schema sets no curve
+    charge_eff_x: np.ndarray = None
+    charge_eff_y: np.ndarray = None
+    discharge_eff_x: np.ndarray = None
+    discharge_eff_y: np.ndarray = None
     # schedule arrays, (T,)
     state: np.ndarray = None                 # float, NaN allowed
     connected_ev: np.ndarray = None          # int32 EV index when state==1, else -1

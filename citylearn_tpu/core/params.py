@@ -448,6 +448,10 @@ def _pack_evs(spec: DistrictSpec, episode_steps: int):
             cc_phase_limit=jnp.asarray(np.asarray(cc_phase_limits, np.float32)),
             cc_phase_building=jnp.asarray(np.asarray(cc_phase_buildings, np.int32)),
             efficiency=f32([ch.efficiency for ch in all_chargers]),
+            charge_eff_x=f32([ch.charge_eff_x for ch in all_chargers]),
+            charge_eff_y=f32([ch.charge_eff_y for ch in all_chargers]),
+            discharge_eff_x=f32([ch.discharge_eff_x for ch in all_chargers]),
+            discharge_eff_y=f32([ch.discharge_eff_y for ch in all_chargers]),
             max_charging_power=f32([ch.max_charging_power for ch in all_chargers]),
             min_charging_power=f32([ch.min_charging_power for ch in all_chargers]),
             max_discharging_power=f32([ch.max_discharging_power for ch in all_chargers]),

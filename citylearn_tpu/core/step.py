@@ -352,7 +352,13 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
         e_dis = jnp.maximum(jnp.minimum(a * ch.max_discharging_power * hours_ratio,
                                         -ch.min_discharging_power), -ch.max_discharging_power)
         energy = jnp.where(charging, e_chg, e_dis)
-        eff = ch.efficiency
+        # power-dependent efficiency interpolated at |action|
+        # (charger.py:252-281, 283-329); the packed curves are constant at
+        # the scalar efficiency when the schema sets none
+        interp = jax.vmap(jnp.interp)
+        eff = jnp.where(charging,
+                        interp(jnp.abs(a), ch.charge_eff_x, ch.charge_eff_y),
+                        interp(jnp.abs(a), ch.discharge_eff_x, ch.discharge_eff_y))
         energy_kwh = jnp.where(charging, energy * eff, energy / eff)
 
         conn = jnp.take(ch.connected_ev, t, axis=0)       # (C,)

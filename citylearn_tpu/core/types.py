@@ -128,6 +128,10 @@ class ChargerParams(struct.PyTreeNode):
     episode-relative ``(T, C)`` like the reference's un-windowed charger
     data."""
     efficiency: jnp.ndarray              # (C,)
+    charge_eff_x: jnp.ndarray            # (C, K) interp knots at |action|
+    charge_eff_y: jnp.ndarray            # (C, K)
+    discharge_eff_x: jnp.ndarray         # (C, K)
+    discharge_eff_y: jnp.ndarray         # (C, K)
     max_charging_power: jnp.ndarray
     min_charging_power: jnp.ndarray
     max_discharging_power: jnp.ndarray
