@@ -289,6 +289,7 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     charger_applied = None
     charger_soc_now = None
     charger_soc_prev = None
+    charger_cons_c = None
     if cfg.has_evs:
         ch = params.chargers
         evp = params.evs
@@ -390,6 +391,7 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
         ev_deg_new = state.ev_degraded_capacity.at[sidx].set(
             res.degraded_capacity, mode="drop")
         charger_soc_now = ev_soc_new[gidx]
+        charger_cons_c = cons_c
         chargers_cons_b = jax.ops.segment_sum(cons_c, ch.building_index,
                                               num_segments=B)
 
@@ -685,5 +687,7 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
         charging_violation_kwh=cc_violation_b,
         charging_building_headroom=cc_building_headroom,
         charging_phase_headroom=cc_phase_headroom,
+        charger_consumption=charger_cons_c,
+        charger_action_kwh=charger_energy,
     )
     return new_state, out

@@ -311,3 +311,7 @@ class StepOutput(struct.PyTreeNode):
     charging_violation_kwh: jnp.ndarray = None       # (B,)
     charging_building_headroom: jnp.ndarray = None   # (B,)
     charging_phase_headroom: jnp.ndarray = None      # (P,)
+    # per-charger series (reference Charger.electricity_consumption /
+    # past_charging_action_values_kwh, electric_vehicle_charger.py:320-328)
+    charger_consumption: jnp.ndarray = None          # (C,)
+    charger_action_kwh: jnp.ndarray = None           # (C,)

@@ -277,6 +277,12 @@ class CityLearnEnv:
             "chargers_cons", "wm_cons", "cooling_sp", "heating_sp",
             "cooling_cons", "heating_cons", "dhw_cons", "nsl_cons",
             "cooling_storage_soc", "heating_storage_soc", "dhw_storage_soc")}
+        if self.cfg.has_evs:
+            # per-charger series (reference Charger.reset zeros them,
+            # electric_vehicle_charger.py:344-349)
+            C = self.cfg.n_chargers
+            self._history["charger_cons"] = np.zeros((T, C), np.float32)
+            self._history["charger_action_kwh"] = np.zeros((T, C), np.float32)
         self._synced_t = 0
         self._write_reset_row()
         if self.cfg.has_charging_constraints:
@@ -460,6 +466,9 @@ class CityLearnEnv:
         h["heating_demand_actual"][t] = out.heating_demand_actual
         h["chargers_cons"][t] = out.chargers_consumption
         h["wm_cons"][t] = out.washing_machines_consumption
+        if self.cfg.has_evs:
+            h["charger_cons"][t] = out.charger_consumption
+            h["charger_action_kwh"][t] = out.charger_action_kwh
         h["cooling_sp"][t] = out.cooling_set_point
         h["heating_sp"][t] = out.heating_set_point
         if self.cfg.has_charging_constraints:

@@ -124,6 +124,37 @@ class BatteryView(_SpecDelegate):
         return float(np.asarray(env._state.battery_degraded_capacity)[self._bi])
 
 
+class ChargerView:
+    """Live drop-in for ``citylearn.electric_vehicle_charger.Charger``:
+    static attributes from :class:`ChargerSpec`, per-episode series from the
+    env's per-charger history (reference
+    ``electric_vehicle_charger.py:320-349``)."""
+
+    def __init__(self, env: "CityLearnEnv", ci: int, spec):
+        self._env = env
+        self._ci = ci
+        self._spec = spec
+
+    def __getattr__(self, name):
+        try:
+            return getattr(self._spec, name)
+        except AttributeError:
+            raise AttributeError(
+                f"ChargerView has no attribute {name!r}") from None
+
+    def _hist(self, key: str) -> np.ndarray:
+        env = self._env
+        env._sync_unwritten_row()
+        return env._history[key][: env.time_step + 1, self._ci].copy()
+
+    @property
+    def electricity_consumption(self) -> np.ndarray:
+        return self._hist("charger_cons")
+
+    @property
+    def past_charging_action_values_kwh(self) -> np.ndarray:
+        return self._hist("charger_action_kwh")
+
 class HVACDeviceView(_SpecDelegate):
     """HeatPump / ElectricHeater (reference ``energy_model.py:157-451``)."""
 
@@ -257,6 +288,21 @@ class BuildingView(_SpecDelegate):
     @property
     def pv(self) -> PVView:
         return PVView(self._env, self._bi, self._spec.pv_nominal_power)
+
+    @property
+    def electric_vehicle_chargers(self) -> List["ChargerView"]:
+        """Per-charger live views (reference ``building.py:225-228``)."""
+        slots, _ = self._env._charger_action_slots
+        return [ChargerView(self._env,
+                            slots[f"electric_vehicle_storage_{ch.charger_id}"],
+                            ch)
+                for ch in self._spec.chargers]
+
+    @property
+    def chargers_electricity_consumption(self) -> np.ndarray:
+        """Sum over this building's chargers (reference
+        ``building.py:467-471``)."""
+        return self._hist("chargers_cons")
 
     # ------------------------------------------------------------------
     # driver-data views (reference TimeSeriesData containers)

@@ -139,3 +139,39 @@ def test_battery_degraded_capacity(env):
     b = env.buildings[0]
     cap0 = b.electrical_storage.degraded_capacity
     assert cap0 == pytest.approx(b.electrical_storage.capacity, rel=1e-6)
+
+
+def test_per_charger_views():
+    """Building.electric_vehicle_chargers live views: per-charger
+    electricity_consumption sums to the building aggregate
+    (reference building.py:225-228,467-471)."""
+    import numpy as np
+
+    env = CityLearnEnv(
+        "/root/reference/data/datasets/citylearn_challenge_2022_phase_all_plus_evs/schema.json",
+        episode_time_steps=12, central_agent=False)
+    env.reset()
+    for _ in range(11):
+        acts = []
+        for i, sp in enumerate(env.action_space):
+            a = np.zeros(len(sp.low), np.float32)
+            for j, nm in enumerate(env.buildings[i].active_actions):
+                if "electric_vehicle_storage" in nm:
+                    a[j] = 0.5
+            acts.append(a)
+        env.step(acts)
+    saw_charger = False
+    for b in env.buildings:
+        chargers = b.electric_vehicle_chargers
+        agg = b.chargers_electricity_consumption
+        assert agg.shape == (12,)
+        if not chargers:
+            assert np.all(agg == 0)
+            continue
+        saw_charger = True
+        per = np.sum([ch.electricity_consumption for ch in chargers], axis=0)
+        np.testing.assert_allclose(per, agg, atol=1e-5)
+        for ch in chargers:
+            assert ch.past_charging_action_values_kwh.shape == (12,)
+            assert isinstance(ch.charger_id, str)
+    assert saw_charger
