@@ -17,6 +17,7 @@ that keep the training step shape-static and fully fused.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -144,11 +145,15 @@ class BatchedSAC:
             key=key, step=jnp.asarray(0, jnp.int32))
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            shard = NamedSharding(self.mesh, P("dp"))
             repl = NamedSharding(self.mesh, P())
-            self.state = self.state._replace(
-                env_state=jax.device_put(self.state.env_state, shard))
+            self.state = self._shard_state(self.state)
             self.params = jax.device_put(self.params, repl)
+
+    def _shard_state(self, state: "TrainState") -> "TrainState":
+        """District batch over ``dp``; everything else replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard = NamedSharding(self.mesh, P("dp"))
+        return state._replace(env_state=jax.device_put(state.env_state, shard))
 
     # ------------------------------------------------------------------
     def _encoded_obs(self, env_state):
@@ -309,3 +314,38 @@ class BatchedSAC:
             nets = pickle.load(f)
         self.state = self.state._replace(
             nets=jax.tree_util.tree_map(jnp.asarray, nets))
+
+    # ------------------------------------------------------------------
+    # full-state checkpointing (learner + env + replay + RNG + step) —
+    # the reference only pickles agents (__main__.py:291-298); resumable
+    # large-scale training needs the whole TrainState (SURVEY.md §5.4)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _placeholder_empties(tree):
+        # orbax refuses zero-size arrays (e.g. (D, 0) EV leaves on
+        # EV-less datasets); swap them for a scalar placeholder
+        return jax.tree_util.tree_map(
+            lambda x: x if x.size else np.zeros((1,), x.dtype), tree)
+
+    def save_checkpoint(self, directory: str):
+        """Write the complete :class:`TrainState` with orbax; bit-exact
+        resume via :meth:`restore_checkpoint`."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(directory)
+        state_np = jax.tree_util.tree_map(np.asarray, self.state)
+        ocp.PyTreeCheckpointer().save(path, self._placeholder_empties(state_np))
+
+    def restore_checkpoint(self, directory: str):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(directory)
+        template = jax.tree_util.tree_map(np.asarray, self.state)
+        restored = ocp.PyTreeCheckpointer().restore(
+            path, item=self._placeholder_empties(template))
+        # zero-size leaves come back from the template, not the placeholder
+        self.state = jax.tree_util.tree_map(
+            lambda cur, new: jnp.asarray(cur if cur.size == 0 else new),
+            template, restored)
+        if self.mesh is not None:
+            self.state = self._shard_state(self.state)

@@ -37,3 +37,23 @@ def test_checkpoint_roundtrip(tmp_path):
     tr.load(str(p))
     after = np.asarray(tr.state.nets.policy["mean"]["w"])
     np.testing.assert_array_equal(before, after)
+
+
+def test_orbax_full_state_resume(tmp_path):
+    """Full-TrainState checkpoint (env + replay + RNG + step) resumes
+    bit-exactly: train A->checkpoint->train B, restore->train B' == B."""
+    cfg = TrainConfig(n_districts=2, warmup_steps=2, batch_size=8,
+                      replay_capacity=64)
+    tr = BatchedSAC(SCHEMA, cfg, random_seed=0, episode_time_steps=12)
+    tr.train(4, chunk=4)
+    ckpt = str(tmp_path / "ckpt")
+    tr.save_checkpoint(ckpt)
+    hist1 = tr.train(4, chunk=4)
+    w1 = np.asarray(tr.state.nets.policy["mean"]["w"])
+
+    tr.restore_checkpoint(ckpt)
+    assert int(tr.state.step) == 4
+    hist2 = tr.train(4, chunk=4)
+    w2 = np.asarray(tr.state.nets.policy["mean"]["w"])
+    assert hist1 == hist2
+    np.testing.assert_array_equal(w1, w2)
