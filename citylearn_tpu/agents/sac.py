@@ -84,8 +84,12 @@ def _policy_forward(params, obs):
     return mean, log_std
 
 
-def _policy_sample(params, obs, key, action_scale, action_bias):
-    """tanh-Gaussian with bound-corrected log-prob (``rl.py:56-68``)."""
+def _policy_sample(params, obs, key, action_scale, action_bias, act_mask=None):
+    """tanh-Gaussian with bound-corrected log-prob (``rl.py:56-68``).
+
+    ``act_mask`` (optional, (M,) float): 1.0 for real action dims, 0.0 for
+    padding dims added when stacking heterogeneous buildings — padded dims
+    contribute nothing to the log-prob and their action is forced to 0."""
     mean, log_std = _policy_forward(params, obs)
     std = jnp.exp(log_std)
     noise = jax.random.normal(key, mean.shape)
@@ -95,8 +99,13 @@ def _policy_sample(params, obs, key, action_scale, action_bias):
     log_prob = (-0.5 * ((x_t - mean) / std) ** 2 - log_std
                 - 0.5 * jnp.log(2 * jnp.pi))
     log_prob = log_prob - jnp.log(action_scale * (1 - y_t ** 2) + EPS)
+    if act_mask is not None:
+        log_prob = log_prob * act_mask
+        action = action * act_mask
     log_prob = log_prob.sum(-1, keepdims=True)
     det_action = jnp.tanh(mean) * action_scale + action_bias
+    if act_mask is not None:
+        det_action = det_action * act_mask
     return action, log_prob, det_action
 
 

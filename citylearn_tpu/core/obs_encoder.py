@@ -21,7 +21,8 @@ ONEHOT = {"day_type": [1, 2, 3, 4, 5, 6, 7, 8], "daylight_savings_status": [0, 1
 
 class EncoderSpec(NamedTuple):
     """Per output slot: source column (into the union obs matrix), kind and
-    two parameters. kinds: 0 minmax, 1 sin, 2 cos, 3 onehot(class=p1)."""
+    two parameters. kinds: 0 minmax, 1 sin, 2 cos, 3 onehot(class=p1),
+    4 constant zero (padding slot for heterogeneous-district stacking)."""
     src: jnp.ndarray        # (K_out,) int32
     kind: jnp.ndarray       # (K_out,) int32
     p1: jnp.ndarray         # (K_out,) float32
@@ -62,6 +63,26 @@ def build_encoder_spec(spec: DistrictSpec, layout, building_index: int,
         p2=jnp.asarray(np.asarray(p2, np.float32)))
 
 
+def pad_encoder_specs(specs: List[EncoderSpec]) -> List[EncoderSpec]:
+    """Pad a list of per-building encoder specs to a common output width so
+    they can be stacked over the agent axis (heterogeneous districts: each
+    building may expose a different active-observation subset). Padding
+    slots emit a constant 0.0 (kind 4) — harmless extra network inputs."""
+    k_max = max(int(e.src.shape[0]) for e in specs)
+    out = []
+    for e in specs:
+        n = k_max - int(e.src.shape[0])
+        if n == 0:
+            out.append(e)
+            continue
+        pad_i = lambda a: jnp.concatenate([a, jnp.zeros((n,), a.dtype)])
+        out.append(EncoderSpec(
+            src=pad_i(e.src),
+            kind=jnp.concatenate([e.kind, jnp.full((n,), 4, jnp.int32)]),
+            p1=pad_i(e.p1), p2=pad_i(e.p2)))
+    return out
+
+
 def encode_obs(enc: EncoderSpec, obs_row: jnp.ndarray) -> jnp.ndarray:
     """(.., K_union) -> (.., K_out) encoded values."""
     x = jnp.take(obs_row, enc.src, axis=-1)
@@ -70,5 +91,7 @@ def encode_obs(enc: EncoderSpec, obs_row: jnp.ndarray) -> jnp.ndarray:
     out = jnp.where(enc.kind == 0, minmax,
                     jnp.where(enc.kind == 1, jnp.sin(ang),
                               jnp.where(enc.kind == 2, jnp.cos(ang),
-                                        (x == enc.p1).astype(jnp.float32))))
+                                        jnp.where(enc.kind == 3,
+                                                  (x == enc.p1).astype(jnp.float32),
+                                                  0.0))))
     return out

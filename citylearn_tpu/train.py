@@ -7,6 +7,29 @@ batch data-parallel over devices (`jax.sharding`), per-building agent
 stacks vmapped, replay in HBM, and the whole
 collect -> store -> sample -> update loop under one ``lax.scan``.
 
+Design points vs the reference's per-building torch SAC
+(``citylearn/agents/sac.py:56-165``):
+
+- **Every district's experience is learned from.** The replay buffer is
+  laid out ``(S, D, A, ...)`` — S slots x D districts x A agents — and
+  each env step writes all D districts' transitions with one fully
+  local ``dynamic_update_slice`` (districts are the sharded axis, so no
+  cross-device traffic on the store path). Sampling draws uniform
+  (slot, district) pairs.
+- **Districts are de-correlated.** Policy/exploration noise is already
+  per-district (the RNG shapes carry the district axis); in addition,
+  when the dataset's simulation range exceeds the episode length every
+  district gets its own seeded episode window offset, redrawn on its own
+  (per-district, not lockstep) reset — the batched analog of the
+  reference's rolling/random ``EpisodeTracker`` splits (``base.py:76-129``).
+- **Heterogeneous districts train on-device.** Buildings with different
+  observation/action subsets are stacked by padding: encoder specs pad
+  to a common width with constant-zero slots, actions pad to a common
+  width with a per-building mask (masked out of the tanh-Gaussian
+  log-prob and forced to 0 before reaching the env). Per-building action
+  routing — including per-charger EV actions and washing-machine
+  triggers — is a static one-hot einsum, MXU-friendly.
+
 Differences from the host-loop :class:`citylearn_tpu.agents.sac.SAC`
 (which mirrors the reference step-for-step): replay standardization is
 replaced with encoder-normalized observations and constant reward
@@ -33,10 +56,13 @@ from citylearn_tpu.agents.sac import (
     _q_init,
 )
 from citylearn_tpu.compiler.schema import compile_schema
-from citylearn_tpu.core.obs_encoder import build_encoder_spec, encode_obs
+from citylearn_tpu.core.obs_encoder import (
+    build_encoder_spec,
+    encode_obs,
+    pad_encoder_specs,
+)
 from citylearn_tpu.core.params import initial_state, pack
 from citylearn_tpu.core.rollout import ACTION_KEYS
-from citylearn_tpu.core.step import district_step
 
 
 class TrainConfig(NamedTuple):
@@ -47,7 +73,7 @@ class TrainConfig(NamedTuple):
     tau: float = 5e-3
     alpha: float = 0.2
     batch_size: int = 256
-    replay_capacity: int = 100_000
+    replay_capacity: int = 100_000      # total transitions (rounded to D slots)
     warmup_steps: int = 100
     reward_scale: float = 0.2
     updates_per_step: int = 1
@@ -56,49 +82,91 @@ class TrainConfig(NamedTuple):
 class TrainState(NamedTuple):
     env_state: object                 # (D, ...) district states
     nets: AgentNets                   # stacked over agent axis A
-    replay_obs: jnp.ndarray           # (cap, A, K)
-    replay_act: jnp.ndarray           # (cap, A, M)
-    replay_rew: jnp.ndarray           # (cap, A)
-    replay_next: jnp.ndarray          # (cap, A, K)
-    replay_done: jnp.ndarray          # (cap,)
-    replay_pos: jnp.ndarray           # scalar int32
+    replay_obs: jnp.ndarray           # (S, D, A, K)
+    replay_act: jnp.ndarray           # (S, D, A, M)
+    replay_rew: jnp.ndarray           # (S, D, A)
+    replay_next: jnp.ndarray          # (S, D, A, K)
+    replay_done: jnp.ndarray          # (S, D)
+    replay_pos: jnp.ndarray           # scalar int32 slot index
     replay_full: jnp.ndarray          # scalar bool
     key: jnp.ndarray
     step: jnp.ndarray
 
 
 class BatchedSAC:
-    """Vectorized SAC over ``n_districts`` copies of one dataset."""
+    """Vectorized SAC over ``n_districts`` instances of one dataset."""
 
     def __init__(self, schema, cfg: TrainConfig = TrainConfig(), seed: int = 0,
                  mesh: Optional["jax.sharding.Mesh"] = None, **schema_kwargs):
         self.cfg = cfg
+        schema_kwargs.setdefault("central_agent", False)
         self.spec = compile_schema(schema, **schema_kwargs)
+        assert not self.spec.central_agent, \
+            "BatchedSAC trains per-building agents (decentralized); " \
+            "central-agent control uses the host-loop SAC"
         self.env_cfg, self.params, self.layout = pack(self.spec)
         B = self.env_cfg.n_buildings
 
-        self.enc = [build_encoder_spec(self.spec, self.layout, i)
-                    for i in range(B)]
-        dims = {e.src.shape[0] for e in self.enc}
-        acts = {len(b.active_actions) for b in self.spec.buildings}
-        assert len(dims) == 1 and len(acts) == 1, \
-            "batched trainer requires uniform building obs/action dims; " \
-            "heterogeneous districts train via the host-loop SAC agent"
-        self.obs_dim = dims.pop()
-        self.act_dim = acts.pop()
+        # --- observations: pad per-building encoders to a common width ---
+        enc = pad_encoder_specs(
+            [build_encoder_spec(self.spec, self.layout, i) for i in range(B)])
+        self.obs_dim = int(enc[0].src.shape[0])
         self.enc_stack = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *self.enc)
-        self.act_low = jnp.asarray(np.stack(
-            [np.asarray(b.action_low, np.float32) for b in self.spec.buildings]))
-        self.act_high = jnp.asarray(np.stack(
-            [np.asarray(b.action_high, np.float32) for b in self.spec.buildings]))
+            lambda *xs: jnp.stack(xs), *enc)
+
+        # --- actions: pad to a common width + mask; route each (building,
+        # slot) to its env action (building-level key, charger or WM) ---
+        names = [list(b.active_actions) for b in self.spec.buildings]
+        M = max(len(n) for n in names)
+        self.act_dim = M
+        C = self.env_cfg.n_chargers
+        W = self.env_cfg.n_washing_machines
+        act_low = np.zeros((B, M), np.float32)
+        act_high = np.zeros((B, M), np.float32)
+        act_mask = np.zeros((B, M), np.float32)
+        w_bld = np.zeros((B, M, len(ACTION_KEYS)), np.float32)
+        w_ch = np.zeros((B, M, max(C, 1)), np.float32)
+        w_wm = np.zeros((B, M, max(W, 1)), np.float32)
+        ch_slot = {}
+        c = 0
+        for b in self.spec.buildings:
+            for ch in b.chargers:
+                ch_slot[(b.index, f"electric_vehicle_storage_{ch.charger_id}")] = c
+                c += 1
+        wm_slot = {}
+        w = 0
+        for b in self.spec.buildings:
+            for wm in b.washing_machines:
+                wm_slot[(b.index, wm.name)] = w
+                w += 1
+        for bi, b in enumerate(self.spec.buildings):
+            act_low[bi, :len(names[bi])] = np.asarray(b.action_low, np.float32)
+            act_high[bi, :len(names[bi])] = np.asarray(b.action_high, np.float32)
+            act_mask[bi, :len(names[bi])] = 1.0
+            for m, k in enumerate(names[bi]):
+                if k in ACTION_KEYS:
+                    w_bld[bi, m, ACTION_KEYS.index(k)] = 1.0
+                elif (bi, k) in ch_slot:
+                    w_ch[bi, m, ch_slot[(bi, k)]] = 1.0
+                elif (bi, k) in wm_slot:
+                    w_wm[bi, m, wm_slot[(bi, k)]] = 1.0
+                else:
+                    raise NotImplementedError(f"trainer action routing for {k}")
+        self.act_low = jnp.asarray(act_low)
+        self.act_high = jnp.asarray(act_high)
+        self.act_mask = jnp.asarray(act_mask)
         self.action_scale = (self.act_high - self.act_low) / 2.0
         self.action_bias = (self.act_high + self.act_low) / 2.0
-        # action names -> step-dict mapping (storage/device only here)
-        self.action_slots = []
-        for k in self.spec.buildings[0].active_actions:
-            assert k in ACTION_KEYS, f"trainer does not support action {k}"
-            self.action_slots.append(ACTION_KEYS.index(k))
+        self.w_bld = jnp.asarray(w_bld)
+        self.w_ch = jnp.asarray(w_ch) if C else None
+        self.w_wm = jnp.asarray(w_wm) if W else None
+
+        # per-district episode windows: when the dataset's simulation range
+        # exceeds the episode length, each district rolls its own seeded
+        # window (reference EpisodeTracker splits, base.py:76-129)
+        self.max_offset = int(self.spec.simulation_time_steps
+                              - self.env_cfg.time_steps)
+
         self.mesh = mesh
         self.optimizer = optax.adam(cfg.lr)
         self._init_state(seed)
@@ -106,11 +174,25 @@ class BatchedSAC:
                                     static_argnames=("n_steps",))
 
     # ------------------------------------------------------------------
+    def _draw_offsets(self, key, n):
+        if self.max_offset <= 0:
+            return jnp.zeros((n,), jnp.int32)
+        return jax.random.randint(key, (n,), 0, self.max_offset + 1,
+                                  dtype=jnp.int32)
+
+    def _broadcast_initial(self, offsets):
+        env0 = initial_state(self.env_cfg, self.params, 0)
+        D = offsets.shape[0]
+        st = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (D,) + x.shape), env0)
+        return st.replace(data_offset=offsets)
+
     def _init_state(self, seed: int):
         cfg = self.cfg
         B = self.env_cfg.n_buildings
+        D = cfg.n_districts
         key = jax.random.PRNGKey(seed)
-        key, *ks = jax.random.split(key, 3 * B + 1)
+        key, k_off, *ks = jax.random.split(key, 3 * B + 2)
         q1 = [_q_init(ks[3 * i], self.obs_dim, self.act_dim, list(cfg.hidden))
               for i in range(B)]
         q2 = [_q_init(ks[3 * i + 1], self.obs_dim, self.act_dim, list(cfg.hidden))
@@ -128,18 +210,16 @@ class BatchedSAC:
             q2_opt=jax.vmap(self.optimizer.init)(q2),
             policy_opt=jax.vmap(self.optimizer.init)(pi))
 
-        env0 = initial_state(self.env_cfg, self.params, 0)
-        env_state = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (cfg.n_districts,) + x.shape), env0)
-        cap = cfg.replay_capacity
+        env_state = self._broadcast_initial(self._draw_offsets(k_off, D))
+        S = max(1, cfg.replay_capacity // D)    # replay slots (D rows each)
         A = B
         self.state = TrainState(
             env_state=env_state, nets=nets,
-            replay_obs=jnp.zeros((cap, A, self.obs_dim), jnp.float32),
-            replay_act=jnp.zeros((cap, A, self.act_dim), jnp.float32),
-            replay_rew=jnp.zeros((cap, A), jnp.float32),
-            replay_next=jnp.zeros((cap, A, self.obs_dim), jnp.float32),
-            replay_done=jnp.zeros((cap,), jnp.float32),
+            replay_obs=jnp.zeros((S, D, A, self.obs_dim), jnp.float32),
+            replay_act=jnp.zeros((S, D, A, self.act_dim), jnp.float32),
+            replay_rew=jnp.zeros((S, D, A), jnp.float32),
+            replay_next=jnp.zeros((S, D, A, self.obs_dim), jnp.float32),
+            replay_done=jnp.zeros((S, D), jnp.float32),
             replay_pos=jnp.asarray(0, jnp.int32),
             replay_full=jnp.asarray(False),
             key=key, step=jnp.asarray(0, jnp.int32))
@@ -150,10 +230,19 @@ class BatchedSAC:
             self.params = jax.device_put(self.params, repl)
 
     def _shard_state(self, state: "TrainState") -> "TrainState":
-        """District batch over ``dp``; everything else replicated."""
+        """District batch (and the replay's district axis) over ``dp``;
+        everything else replicated. Replay writes are thereby fully local:
+        slot s, districts [shard] land on the device that stepped them."""
         from jax.sharding import NamedSharding, PartitionSpec as P
-        shard = NamedSharding(self.mesh, P("dp"))
-        return state._replace(env_state=jax.device_put(state.env_state, shard))
+        shard_d0 = NamedSharding(self.mesh, P("dp"))
+        shard_d1 = NamedSharding(self.mesh, P(None, "dp"))
+        return state._replace(
+            env_state=jax.device_put(state.env_state, shard_d0),
+            replay_obs=jax.device_put(state.replay_obs, shard_d1),
+            replay_act=jax.device_put(state.replay_act, shard_d1),
+            replay_rew=jax.device_put(state.replay_rew, shard_d1),
+            replay_next=jax.device_put(state.replay_next, shard_d1),
+            replay_done=jax.device_put(state.replay_done, shard_d1))
 
     # ------------------------------------------------------------------
     def _encoded_obs(self, env_state):
@@ -165,12 +254,15 @@ class BatchedSAC:
                         in_axes=(0, 1), out_axes=1)(self.enc_stack, rows)
 
     def _actions_dict(self, a_env):
-        """(D, A, M) env-scaled actions -> the step's action dict."""
-        D = a_env.shape[0]
-        zero = jnp.zeros((D, self.env_cfg.n_buildings), jnp.float32)
-        out = {k: zero for k in ACTION_KEYS}
-        for m, slot in enumerate(self.action_slots):
-            out[ACTION_KEYS[slot]] = a_env[:, :, m]
+        """(D, A, M) padded masked actions -> the step's action dict, via
+        static one-hot routing tensors (building keys / chargers / WMs)."""
+        bld = jnp.einsum("dam,amk->kda", a_env, self.w_bld)
+        out = {k: bld[i] for i, k in enumerate(ACTION_KEYS)}
+        if self.w_ch is not None:
+            out["electric_vehicle_storage"] = jnp.einsum(
+                "dam,amc->dc", a_env, self.w_ch)
+        if self.w_wm is not None:
+            out["washing_machine"] = jnp.einsum("dam,amw->dw", a_env, self.w_wm)
         return out
 
     def _build_train_chunk(self):
@@ -178,18 +270,18 @@ class BatchedSAC:
         env_cfg = self.env_cfg
         D = cfg.n_districts
         A = env_cfg.n_buildings
-        cap = cfg.replay_capacity
 
+        from citylearn_tpu.core.step import district_step
         vstep = jax.vmap(functools.partial(district_step, env_cfg),
                          in_axes=(None, 0, 0))
-        sample_policy = jax.vmap(_policy_sample, in_axes=(0, 1, 0, 0, 0),
+        sample_policy = jax.vmap(_policy_sample, in_axes=(0, 1, 0, 0, 0, 0),
                                  out_axes=(1, 1, 1))
 
-        def update_agent(nets_i, batch, key, scale, bias):
+        def update_agent(nets_i, batch, key, scale, bias, mask):
             o, a, r, n, d = batch
             k1, k2 = jax.random.split(key)
             new_next_a, new_log_pi, _ = _policy_sample(nets_i.policy, n, k1,
-                                                       scale, bias)
+                                                       scale, bias, mask)
             tq = jnp.minimum(_q_apply(nets_i.q1_target, n, new_next_a),
                              _q_apply(nets_i.q2_target, n, new_next_a)) \
                 - cfg.alpha * new_log_pi
@@ -207,7 +299,7 @@ class BatchedSAC:
             q2 = optax.apply_updates(nets_i.q2, u2)
 
             def pi_loss(pp):
-                na, lp, _ = _policy_sample(pp, o, k2, scale, bias)
+                na, lp, _ = _policy_sample(pp, o, k2, scale, bias, mask)
                 q = jnp.minimum(_q_apply(q1, o, na), _q_apply(q2, o, na))
                 return (cfg.alpha * lp - q).mean()
 
@@ -223,15 +315,17 @@ class BatchedSAC:
                 q2_target=polyak(nets_i.q2_target, q2),
                 q1_opt=q1_opt, q2_opt=q2_opt, policy_opt=policy_opt)
 
-        vupdate = jax.vmap(update_agent, in_axes=(0, 1, 0, 0, 0))
+        vupdate = jax.vmap(update_agent, in_axes=(0, 1, 0, 0, 0, 0))
 
         def one_step(ts: TrainState, _):
-            key, k_act, k_expl, k_sample, k_upd = jax.random.split(ts.key, 5)
+            key, k_act, k_expl, k_sample, k_upd, k_reset = \
+                jax.random.split(ts.key, 6)
             obs = self._encoded_obs(ts.env_state)              # (D, A, K)
 
             a_pi, _, _ = sample_policy(ts.nets.policy, obs,
                                        jax.random.split(k_act, A),
-                                       self.action_scale, self.action_bias)
+                                       self.action_scale, self.action_bias,
+                                       self.act_mask)
             a_rand = jax.random.uniform(
                 k_expl, a_pi.shape, minval=self.act_low, maxval=self.act_high)
             explore = ts.step < cfg.warmup_steps
@@ -242,41 +336,46 @@ class BatchedSAC:
             reward = out.reward * cfg.reward_scale             # (D, A)
             next_obs = self._encoded_obs(env_state)
 
-            # episode auto-reset when the batch terminates (lockstep)
-            terminated = env_state.t[0] >= env_cfg.time_steps - 1
-            env0 = initial_state(env_cfg, self.params, 0)
-            env_reset = jax.tree_util.tree_map(
-                lambda x: jnp.broadcast_to(x, (D,) + x.shape), env0)
-            env_state = jax.tree_util.tree_map(
-                lambda a_, b_: jnp.where(terminated, b_, a_), env_state, env_reset)
+            # per-district episode auto-reset with a freshly drawn window
+            terminated = env_state.t >= env_cfg.time_steps - 1   # (D,)
+            env_reset = self._broadcast_initial(
+                self._draw_offsets(k_reset, D))
+            pick_reset = lambda cur, res: jnp.where(
+                terminated.reshape((D,) + (1,) * (cur.ndim - 1)), res, cur)
+            env_state = jax.tree_util.tree_map(pick_reset, env_state, env_reset)
 
-            # store district 0's transition (all districts are identical
-            # copies here; per-district replay would multiply memory D-fold)
-            idx = ts.replay_pos
-            store = lambda buf, val: buf.at[idx].set(val)
+            # store EVERY district's transition at the current slot —
+            # one local dynamic_update_slice on the sharded district axis
+            slot = ts.replay_pos
+            store = lambda buf, val: buf.at[slot].set(val)
+            S = ts.replay_done.shape[0]
             ts = ts._replace(
-                replay_obs=store(ts.replay_obs, obs[0]),
-                replay_act=store(ts.replay_act, a_env[0]),
-                replay_rew=store(ts.replay_rew, reward[0]),
-                replay_next=store(ts.replay_next, next_obs[0]),
+                replay_obs=store(ts.replay_obs, obs),
+                replay_act=store(ts.replay_act, a_env),
+                replay_rew=store(ts.replay_rew, reward),
+                replay_next=store(ts.replay_next, next_obs),
                 replay_done=store(ts.replay_done,
                                   terminated.astype(jnp.float32)),
-                replay_pos=(idx + 1) % cap,
-                replay_full=ts.replay_full | (idx + 1 >= cap))
+                replay_pos=(slot + 1) % S,
+                replay_full=ts.replay_full | (slot + 1 >= S))
 
             # SAC updates once the buffer has a batch
-            n_avail = jnp.where(ts.replay_full, cap, ts.replay_pos)
-            can_update = (n_avail >= cfg.batch_size) & ~explore
+            slots_avail = jnp.where(ts.replay_full, S, ts.replay_pos)
+            can_update = (slots_avail * D >= cfg.batch_size) & ~explore
 
             def do_update(nets):
-                sel = jax.random.randint(k_sample, (cfg.batch_size,), 0,
-                                         jnp.maximum(n_avail, 1))
-                batch = (ts.replay_obs[sel], ts.replay_act[sel],
-                         ts.replay_rew[sel], ts.replay_next[sel],
-                         jnp.broadcast_to(ts.replay_done[sel, None],
+                ks1, ks2 = jax.random.split(k_sample)
+                sel_s = jax.random.randint(ks1, (cfg.batch_size,), 0,
+                                           jnp.maximum(slots_avail, 1))
+                sel_d = jax.random.randint(ks2, (cfg.batch_size,), 0, D)
+                pick = lambda buf: buf[sel_s, sel_d]
+                batch = (pick(ts.replay_obs), pick(ts.replay_act),
+                         pick(ts.replay_rew), pick(ts.replay_next),
+                         jnp.broadcast_to(pick(ts.replay_done)[:, None],
                                           (cfg.batch_size, A)))
                 return vupdate(nets, batch, jax.random.split(k_upd, A),
-                               self.action_scale, self.action_bias)
+                               self.action_scale, self.action_bias,
+                               self.act_mask)
 
             nets = jax.lax.cond(can_update, do_update, lambda n: n, ts.nets)
             ts = ts._replace(env_state=env_state, nets=nets, key=key,
