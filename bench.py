@@ -1,10 +1,15 @@
 """Throughput benchmark: vectorized district env steps per second per chip.
 
 Runs D vectorized district instances of citylearn_challenge_2022_phase_1
-(5 buildings, battery + PV) for a full year episode under jit with an
-in-graph hour-indexed RBC policy (BasicRBC battery map, reference
-agents/rbc.py:160-218) — policy + env fused in one XLA loop, zero host
-round-trips per step. One env-step = one district stepping once.
+(5 buildings, battery + PV) for a full year episode with an in-graph
+hour-indexed RBC policy (BasicRBC battery map, reference
+agents/rbc.py:160-218). One env-step = one district stepping once.
+
+Two paths:
+- the whole-episode Pallas TPU kernel (ops/pallas_battery.py) when the
+  config is eligible — episode streaming HBM->VMEM, state in VMEM,
+  one kernel launch per episode (~25x the scan path on v5e);
+- the general jitted vmap(scan) path otherwise (or BENCH_FAST=0).
 
 Baseline denominator: the reference CityLearn's measured single-env CPU
 throughput (tests/golden/reference_perf.json via tools/make_golden.py).
@@ -23,7 +28,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     from citylearn_tpu.compiler.schema import compile_schema
+    from citylearn_tpu.core import rollout_fast
     from citylearn_tpu.core.params import pack
     from citylearn_tpu.core.rollout import (
         batched_initial_states,
@@ -38,30 +48,62 @@ def main():
     D = int(os.environ.get("BENCH_DISTRICTS", "4096"))
     S = cfg.time_steps - 1          # steps per episode (8759)
     B = cfg.n_buildings
+    reps = int(os.environ.get("BENCH_REPS", "3"))
 
     # BasicRBC storage map (rbc.py:160-218): charge 22:00-08:00, else discharge
     table = np.full(24, -0.08, np.float32)
     for h in list(range(22, 25)) + list(range(1, 9)):
         table[h - 1] = 0.091
-    policy = hour_rbc_policy(jnp.asarray(table))
 
-    states = batched_initial_states(cfg, params, D)
+    use_fast = (os.environ.get("BENCH_FAST", "1") != "0"
+                and rollout_fast.eligible(cfg)
+                and D % rollout_fast.TILE_D == 0)
+    times = None
+    if use_fast and os.environ.get("BENCH_FAST_CHILD") != "1":
+        # the remote Mosaic compile service has variable latency; run the
+        # kernel path in a bounded subprocess and fall back to the XLA
+        # scan path if it does not report in time
+        import subprocess
+        import sys
 
-    def episode(params, state):
-        return rollout_policy(cfg, params, state, S, policy)
+        budget = int(os.environ.get("BENCH_FAST_TIMEOUT", "420"))
+        env = dict(os.environ, BENCH_FAST_CHILD="1")
+        try:
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  env=env, timeout=budget,
+                                  capture_output=True, text=True)
+            if proc.returncode == 0 and proc.stdout.strip():
+                print(proc.stdout.strip().splitlines()[-1])
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        use_fast = False                   # fall through to the XLA path
 
-    episode_fn = jax.jit(jax.vmap(episode, in_axes=(None, 0)))
+    if use_fast:
+        out = rollout_fast.run_battery_episode(cfg, params, D, table)
+        jax.block_until_ready(out[0])               # compile + warm run
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = rollout_fast.run_battery_episode(cfg, params, D, table)
+            np.asarray(out[0])
+            times.append(time.perf_counter() - t0)
+    else:
+        policy = hour_rbc_policy(jnp.asarray(table))
+        states = batched_initial_states(cfg, params, D)
 
-    out_state, result = episode_fn(params, states)
-    jax.block_until_ready(result["reward_sum"])     # compile + warm run
+        def episode(params, state):
+            return rollout_policy(cfg, params, state, S, policy)
 
-    reps = int(os.environ.get("BENCH_REPS", "3"))
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
+        episode_fn = jax.jit(jax.vmap(episode, in_axes=(None, 0)))
         out_state, result = episode_fn(params, states)
-        np.asarray(result["reward_sum"])            # force full materialization
-        times.append(time.perf_counter() - t0)
+        jax.block_until_ready(result["reward_sum"])     # compile + warm run
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out_state, result = episode_fn(params, states)
+            np.asarray(result["reward_sum"])        # force full materialization
+            times.append(time.perf_counter() - t0)
     elapsed = min(times)
 
     steps_per_sec = D * S / elapsed

@@ -16,6 +16,7 @@ import numpy as np
 import pandas as pd
 
 from citylearn_tpu.compiler import seeding
+from citylearn_tpu.utilities import NoiseUtils
 from citylearn_tpu.compiler.spaces import (
     estimate_action_space,
     estimate_observation_space_limits,
@@ -57,12 +58,26 @@ CHARGER_OBS_EXPANSION = [
 
 
 def _load_charger_sim(path: str, sim_start: int, sim_end: int,
-                      ev_name_to_index: dict, noise_std: float) -> dict:
+                      ev_name_to_index: dict, noise_std: float,
+                      noise_rng: Optional[np.random.RandomState] = None) -> dict:
     """Parse a charger schedule CSV with the reference's normalization
-    (reference ``data.py:663-768``; noise_std is 0 in bundled datasets —
-    nonzero values would draw from the unseeded global RNG)."""
-    assert noise_std == 0.0, "charger schedule noise uses the global RNG (non-reproducible)"
-    df = pd.read_csv(path).iloc[sim_start:sim_end + 1]
+    (reference ``data.py:663-768``). ``noise_std`` adds seeded Gaussian
+    noise (scaled by 1/100, clipped to [0, 1]) to the required/estimated
+    SOC columns (``data.py:748-768``); the reference draws on the full
+    CSV length from the global RNG, replicated here from the compile-time
+    seeded stream."""
+    full = pd.read_csv(path)
+    noise = NoiseUtils.make_noise_fn(noise_std, noise_rng)
+
+    def soc_noised(name):
+        raw = full[name].to_numpy(dtype=float)
+        raw = np.where(np.isnan(raw), -0.1, raw)
+        nz = noise(len(full))
+        return np.where(raw != -0.1, np.clip(raw / 100.0 + nz / 100.0, 0, 1), raw)
+
+    req_full = soc_noised("electric_vehicle_required_soc_departure")
+    est_full = soc_noised("electric_vehicle_estimated_soc_arrival")
+    df = full.iloc[sim_start:sim_end + 1]
     # exact reference parse (data.py:724): int(str(s)) when isdigit else NaN
     state = np.array([int(str(s)) if str(s).isdigit() else np.nan
                       for s in df["electric_vehicle_charger_state"]], dtype=float)
@@ -75,12 +90,8 @@ def _load_charger_sim(path: str, sim_start: int, sim_end: int,
     dep = np.where(np.isnan(dep), -1, dep).astype(int)
     arr = df["electric_vehicle_estimated_arrival_time"].to_numpy(dtype=float)
     arr = np.where(np.isnan(arr), -1, arr).astype(int)
-    req = df["electric_vehicle_required_soc_departure"].to_numpy(dtype=float)
-    req = np.where(np.isnan(req), -0.1, req)
-    req = np.where(req != -0.1, np.clip(req / 100.0, 0, 1), req)
-    est = df["electric_vehicle_estimated_soc_arrival"].to_numpy(dtype=float)
-    est = np.where(np.isnan(est), -0.1, est)
-    est = np.where(est != -0.1, np.clip(est / 100.0, 0, 1), est)
+    req = req_full[sim_start:sim_end + 1]
+    est = est_full[sim_start:sim_end + 1]
 
     def resolve_ids(want_state):
         out = np.full(len(df), -1, np.int32)
@@ -153,11 +164,20 @@ def _read_csv(cache: Dict[str, pd.DataFrame], root: str, filename: str) -> pd.Da
     return cache[path]
 
 
-def _series_from_energy_csv(df: pd.DataFrame) -> Dict[str, np.ndarray]:
+def _series_from_energy_csv(df: pd.DataFrame, noise_std: float = 0.0,
+                            noise_rng: Optional[np.random.RandomState] = None
+                            ) -> Dict[str, np.ndarray]:
     """Build energy-simulation series with the reference's defaults/clips
-    (``citylearn/data.py:399-493``)."""
+    (``citylearn/data.py:399-493``), including load-time Gaussian
+    observation noise. Noise draws follow the reference constructor order
+    (temperature -> solar -> humidity, ``data.py:409-461``) from one
+    seeded stream — the reference draws from the *unseeded* global RNG
+    (``utilities.py:148-171``), so the seeded stream here corresponds to
+    calling ``np.random.seed(random_seed)`` right before reference env
+    construction."""
     n = len(df)
     out: Dict[str, np.ndarray] = {}
+    noise = NoiseUtils.make_noise_fn(noise_std, noise_rng)
 
     def col(name, dtype, default=None):
         if name in df.columns and not df[name].isna().all():
@@ -169,18 +189,30 @@ def _series_from_energy_csv(df: pd.DataFrame) -> Dict[str, np.ndarray]:
     if "minutes" in df.columns:
         out["minutes"] = df["minutes"].to_numpy(dtype=np.int32)
     out["daylight_savings_status"] = col("daylight_savings_status", np.int32, 0)
+    # the reference draws noise whenever the CSV *column* exists — even
+    # all-NaN columns (it adds noise to NaN and keeps NaN) — so stream
+    # position parity requires consuming draws on presence, applying them
+    # only to valid data (we map all-NaN columns to zeros, unobservable in
+    # every bundled schema)
     idt = col("indoor_dry_bulb_temperature", np.float32)
+    idt_noise = noise(n)
     out["indoor_dry_bulb_temperature"] = (
-        np.zeros(n, np.float32) if idt is None else np.clip(idt, -90, 57))
+        np.zeros(n, np.float32) if idt is None
+        else np.clip(idt + idt_noise, -90, 57).astype(np.float32))
     out["average_unmet_cooling_setpoint_difference"] = col(
         "average_unmet_cooling_setpoint_difference", np.float32, 0.0)
-    irh = col("indoor_relative_humidity", np.float32)
-    out["indoor_relative_humidity"] = (
-        np.zeros(n, np.float32) if irh is None else irh)
     for k in ["non_shiftable_load", "dhw_demand", "cooling_demand", "heating_demand",
               "solar_generation"]:
         v = col(k, np.float32, 0.0)
         out[k] = np.nan_to_num(v, nan=0.0) if k != "solar_generation" else v
+    # solar noise is shaped from the temperature column (data.py:423 quirk)
+    out["solar_generation"] = (out["solar_generation"]
+                               + noise(n)).astype(np.float32)
+    irh = col("indoor_relative_humidity", np.float32)
+    irh_noise = noise(n) if "indoor_relative_humidity" in df.columns else 0.0
+    out["indoor_relative_humidity"] = (
+        np.zeros(n, np.float32) if irh is None
+        else np.clip(irh + irh_noise, 0, 100).astype(np.float32))
     assert float((out["cooling_demand"] * out["heating_demand"]).sum()) == 0.0, \
         "Cooling and heating in the same time step is not allowed."
     out["occupant_count"] = col("occupant_count", np.float32, 0.0)
@@ -446,6 +478,12 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
     # *both* branches, so the override never reaches the md5 hash.
     random_seed = int(get("random_seed", 0))
     schema_random_seed = int(schema.get("random_seed") or 0)
+    # one seeded stream for all load-time observation noise, consumed in
+    # building/constructor order — the deterministic replacement for the
+    # reference's unseeded global RNG (citylearn.py:2180-2206,
+    # utilities.py:148-171); equivalent to np.random.seed(random_seed)
+    # immediately before reference env construction
+    noise_rng = np.random.RandomState(random_seed)
     central_agent = bool(get("central_agent", False))
     seconds_per_time_step = float(get("seconds_per_time_step", 3600.0))
     sim_start = int(get("simulation_start_time_step", 0))
@@ -489,9 +527,11 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
         b_type = b_schema.get("type") or "citylearn.citylearn.Building"
 
         # --- data -------------------------------------------------------
+        noise_std = float(b_schema.get("noise_std") or 0.0)
         edf = _read_csv(cache, root, b_schema["energy_simulation"])
-        series = _series_from_energy_csv(edf)
+        series = _series_from_energy_csv(edf, noise_std, noise_rng)
         n = len(edf)
+        noise = NoiseUtils.make_noise_fn(noise_std, noise_rng)
 
         # time_step_ratio derivation (reference data.py:428-455)
         hour = series["hour"]
@@ -505,22 +545,29 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
         base_seconds = max(1, delta * 60)
         time_step_ratio = seconds_per_time_step / base_seconds
 
+        # weather noise is additive, unclipped (data.py:573-595); carbon and
+        # pricing clip to [0, 1] post-noise (data.py:624-627,661) and draw
+        # noise even when the file is absent (zeros series, citylearn.py:2194,
+        # 2200-2206) — shipped reference behavior
         wdf = _read_csv(cache, root, b_schema["weather"])
         for k in WEATHER_FIELDS:
-            series[k] = wdf[k].to_numpy(dtype=np.float32)
+            series[k] = (wdf[k].to_numpy(dtype=np.float32)
+                         + noise(n)).astype(np.float32)
+        if b_schema.get("carbon_intensity"):
+            cdf = _read_csv(cache, root, b_schema["carbon_intensity"])
+            carbon_raw = cdf["carbon_intensity"].to_numpy(dtype=np.float32)
+        else:
+            carbon_raw = np.zeros(n, np.float32)
+        series["carbon_intensity"] = np.clip(
+            carbon_raw + noise(n), 0, 1).astype(np.float32)
         if b_schema.get("pricing"):
             pdf = _read_csv(cache, root, b_schema["pricing"])
             for k in PRICING_FIELDS:
-                series[k] = np.clip(pdf[k].to_numpy(dtype=np.float32), 0, 1)
+                series[k] = np.clip(pdf[k].to_numpy(dtype=np.float32)
+                                    + noise(n), 0, 1).astype(np.float32)
         else:
             for k in PRICING_FIELDS:
-                series[k] = np.zeros(n, np.float32)
-        if b_schema.get("carbon_intensity"):
-            cdf = _read_csv(cache, root, b_schema["carbon_intensity"])
-            series["carbon_intensity"] = np.clip(
-                cdf["carbon_intensity"].to_numpy(dtype=np.float32), 0, 1)
-        else:
-            series["carbon_intensity"] = np.zeros(n, np.float32)
+                series[k] = np.clip(noise(n), 0, 1).astype(np.float32)
 
         # --- devices ----------------------------------------------------
         def dev_seed(device_name: str, block: Optional[dict]) -> Optional[int]:
@@ -657,7 +704,7 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
             sim = _load_charger_sim(
                 os.path.join(root, charger_cfg["charger_simulation"]),
                 sim_start, sim_end, ev_name_to_index,
-                float(charger_cfg.get("noise_std", 0.0)))
+                float(charger_cfg.get("noise_std", 0.0)), noise_rng)
             chargers.append(ChargerSpec(
                 charger_id=charger_name,
                 building_index=b_index,

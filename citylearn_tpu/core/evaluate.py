@@ -1,0 +1,158 @@
+"""Fused in-graph KPI evaluation for batched district rollouts.
+
+The reference computes KPIs host-side from per-building numpy series
+(``citylearn.py:1136-1323``); the Gym adapter mirrors that in
+``envs/environment.py:evaluate``. Here the same normalized KPI table is
+computed for thousands of vectorized districts in ONE device computation:
+a ``lax.scan`` rollout stacks the per-step quantities, and the
+``core.kpi.*_jnp`` reductions produce control/baseline-normalized values
+without any host sync.
+
+Covered KPIs (the non-thermal core set — ``cost_function.py:10-199``):
+district ramping_average, daily/monthly one-minus-load-factor, daily and
+all-time peak; per-building electricity_consumption_total,
+zero_net_energy, carbon_emissions_total, cost_total. Baseline =
+``without_storage[_and_pv]`` counterfactuals (``building.py:308-476``).
+Thermal/resilience KPIs remain host-side (they need occupant/setpoint
+series; see ``envs/environment.py:evaluate``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from citylearn_tpu.core import kpi
+from citylearn_tpu.core.step import district_step
+from citylearn_tpu.core.types import DistrictParams, EnvState, StaticConfig
+
+
+def _safe_div_jnp(c: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Reference normalization semantics (``citylearn.py:1172-1189``):
+    0/0 -> 1.0; x/0 -> NaN (the host API returns None there)."""
+    c = jnp.where(jnp.isfinite(c), c, 0.0)
+    b = jnp.where(jnp.isfinite(b), b, 0.0)
+    return jnp.where(b == 0.0, jnp.where(c == 0.0, 1.0, jnp.nan),
+                     c / jnp.where(b == 0.0, 1.0, b))
+
+
+def collect_episode(cfg: StaticConfig, params: DistrictParams,
+                    state: EnvState, policy_fn: Callable, n_steps: int
+                    ) -> Tuple[EnvState, Dict[str, jnp.ndarray]]:
+    """Scan ``n_steps`` with an in-graph policy, stacking everything the
+    KPI table needs: (S, B) per-building series."""
+    def body(st, _):
+        tau = st.data_offset + st.t
+        st, out = district_step(cfg, params, st, policy_fn(params, st))
+        ys = dict(
+            net=out.net_electricity_consumption,
+            cost=out.net_electricity_consumption_cost,
+            emission=out.net_electricity_consumption_emission,
+            storage=(out.cooling_storage_consumption
+                     + out.heating_storage_consumption
+                     + out.dhw_storage_consumption
+                     + out.battery_consumption
+                     + out.chargers_consumption),
+            solar=out.solar_generation,             # negative kWh
+            pricing=jnp.take(params.series.electricity_pricing, tau, axis=0),
+            carbon=jnp.take(params.series.carbon_intensity, tau, axis=0),
+        )
+        return st, ys
+
+    return jax.lax.scan(body, state, None, length=n_steps)
+
+
+def kpi_table(cfg: StaticConfig, params: DistrictParams,
+              collected: Dict[str, jnp.ndarray], data_offset: jnp.ndarray,
+              baseline_condition: str = "_without_storage"
+              ) -> Dict[str, jnp.ndarray]:
+    """Normalized KPI dict for ONE district from collected (S, B) series.
+
+    Reproduces the host ``evaluate()`` including its series-length quirk:
+    the control district series has S rows (one per step taken) while
+    counterfactual baselines have S + 1 rows — the final, unwritten index
+    contributes zeros except data-driven solar (``citylearn.py:645-700,
+    1888-1918``; ``envs/environment.py``)."""
+    S = collected["net"].shape[0]
+    and_pv = baseline_condition.endswith("_and_pv")
+
+    net_c = collected["net"]                               # (S, B)
+    base = net_c - collected["storage"]
+    if and_pv:
+        base = base - collected["solar"]
+    # final unwritten row of the baseline (net/storage rows are zero there)
+    tau_end = data_offset + S
+    extra = (params.series.solar_generation[tau_end]      # positive kWh
+             if and_pv else
+             jnp.zeros(net_c.shape[1], net_c.dtype))[None, :]
+    price_end = params.series.electricity_pricing[tau_end][None, :]
+    carbon_end = params.series.carbon_intensity[tau_end][None, :]
+    net_b = jnp.concatenate([base, extra], axis=0)         # (S + 1, B)
+    price_b = jnp.concatenate([collected["pricing"], price_end], axis=0)
+    carbon_b = jnp.concatenate([collected["carbon"], carbon_end], axis=0)
+    cost_b = net_b * price_b
+    em_b = jnp.clip(net_b * carbon_b, 0.0, None)
+
+    cost_c = collected["cost"]
+    em_c = collected["emission"]
+    # pricing/carbon-sum gates (citylearn.py:1246-1260 via envs adapter)
+    price_sum = jnp.sum(price_b, axis=0)
+    carbon_sum = jnp.sum(carbon_b, axis=0)
+
+    building = {
+        "electricity_consumption_total": _safe_div_jnp(
+            kpi.electricity_consumption_jnp(net_c),
+            kpi.electricity_consumption_jnp(net_b)),
+        "zero_net_energy": _safe_div_jnp(
+            kpi.zero_net_energy_jnp(net_c), kpi.zero_net_energy_jnp(net_b)),
+        "carbon_emissions_total": _safe_div_jnp(
+            kpi.carbon_emissions_jnp(em_c),
+            jnp.where(carbon_sum != 0, kpi.carbon_emissions_jnp(em_b), 0.0)),
+        "cost_total": _safe_div_jnp(
+            kpi.cost_jnp(cost_c),
+            jnp.where(price_sum != 0, kpi.cost_jnp(cost_b), 0.0)),
+    }
+
+    # district: control series drops the final index (length quirk above)
+    dc = jnp.sum(net_c, axis=1)                            # (S,)
+    db = jnp.sum(net_b, axis=1)                            # (S + 1,)
+    district = {
+        "ramping_average": _safe_div_jnp(kpi.ramping_jnp(dc), kpi.ramping_jnp(db)),
+        "daily_one_minus_load_factor_average": _safe_div_jnp(
+            kpi.one_minus_load_factor_jnp(dc, 24),
+            kpi.one_minus_load_factor_jnp(db, 24)),
+        "monthly_one_minus_load_factor_average": _safe_div_jnp(
+            kpi.one_minus_load_factor_jnp(dc, 730),
+            kpi.one_minus_load_factor_jnp(db, 730)),
+        "daily_peak_average": _safe_div_jnp(
+            kpi.peak_jnp(dc, 24), kpi.peak_jnp(db, 24)),
+        "all_time_peak_average": _safe_div_jnp(
+            kpi.peak_jnp(dc, cfg.time_steps), kpi.peak_jnp(db, cfg.time_steps)),
+    }
+    # the host's district row averages district KPIs with building-KPI means
+    out = {f"building|{k}": v for k, v in building.items()}
+    out.update({f"district|{k}": v for k, v in district.items()})
+    # pandas groupby-mean skips None/NaN building values (skipna)
+    out.update({f"district|{k}": jnp.nanmean(v) for k, v in building.items()})
+    return out
+
+
+def evaluate_districts(cfg: StaticConfig, params: DistrictParams,
+                       states: EnvState, policy_fn: Callable,
+                       n_steps: int = None,
+                       baseline_condition: str = "_without_storage"
+                       ) -> Dict[str, jnp.ndarray]:
+    """jitted KPI tables for a (D, ...) batch of districts in one device
+    computation. Returns ``building|<kpi>`` -> (D, B) and
+    ``district|<kpi>`` -> (D,) arrays."""
+    S = (cfg.time_steps - 1) if n_steps is None else n_steps
+
+    def one(state):
+        _, collected = collect_episode(cfg, params, state, policy_fn, S)
+        return kpi_table(cfg, params, collected, state.data_offset,
+                         baseline_condition)
+
+    return jax.jit(jax.vmap(one))(states)

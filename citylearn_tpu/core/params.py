@@ -230,9 +230,39 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
     )
 
     reward_block = spec.schema.get("reward_function") or {}
-    reward_type = (reward_block.get("type") or
-                   "citylearn.reward_function.RewardFunction").rsplit(".", 1)[-1]
-    reward_attrs = reward_block.get("attributes") or {}
+    raw_type = reward_block.get("type")
+    raw_attrs = reward_block.get("attributes") or {}
+    reward_per_building = None
+    if isinstance(raw_type, dict):
+        # MultiBuildingRewardFunction (reference citylearn.py:2108-2141):
+        # per-building dotted paths with 'default' fallback (else the first
+        # entry); attributes dict follows the same fallback
+        default_type = raw_type.get("default")
+        if default_type is None and raw_type:
+            default_type = next(iter(raw_type.values()))
+        default_attrs = raw_attrs.get("default")
+        if default_attrs is None and raw_attrs:
+            default_attrs = next(iter(raw_attrs.values()))
+        per = []
+        for b in spec.buildings:
+            t = raw_type.get(b.name, default_type)
+            if t is None:
+                raise ValueError(f"no reward function for building {b.name!r} "
+                                 "and no default provided")
+            a = raw_attrs.get(b.name, default_attrs) or {}
+            per.append((t.rsplit(".", 1)[-1],
+                        float(a.get("exponent") or 1.0),
+                        None if a.get("band") is None else float(a["band"]),
+                        float(a.get("lower_exponent") or 2.0),
+                        float(a.get("higher_exponent") or 2.0),
+                        tuple(a.get("coefficients") or (1.0, 1.0))))
+        reward_per_building = tuple(per)
+        reward_type = "MultiBuildingRewardFunction"
+        reward_attrs = {}
+    else:
+        reward_type = (raw_type or
+                       "citylearn.reward_function.RewardFunction").rsplit(".", 1)[-1]
+        reward_attrs = raw_attrs
 
     cfg = StaticConfig(
         n_buildings=B,
@@ -248,6 +278,7 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
         reward_lower_exponent=float(reward_attrs.get("lower_exponent") or 2.0),
         reward_higher_exponent=float(reward_attrs.get("higher_exponent") or 2.0),
         reward_coefficients=tuple(reward_attrs.get("coefficients") or (1.0, 1.0)),
+        reward_per_building=reward_per_building,
         any_cooling=bool(
             any(float(b.series["cooling_demand"][sl].max()) > 0
                 or b.cooling_storage.capacity > 0 for b in spec.buildings)

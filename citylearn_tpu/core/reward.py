@@ -178,6 +178,14 @@ def _ev_reward(cfg: StaticConfig, x: RewardInputs, ev: EVRewardInputs) -> jnp.nd
     return reward
 
 
+def _marl_single(cfg: StaticConfig, x: RewardInputs) -> jnp.ndarray:
+    """MARL under MultiBuildingRewardFunction: each building's function
+    receives only that building's observation (``reward_function.py:96-103``),
+    so the 'district' total degenerates to the building's own net."""
+    neg = -x.net
+    return jnp.sign(neg) * 0.01 * (neg ** 2) * jnp.maximum(0.0, x.net)
+
+
 _REGISTRY = {
     "RewardFunction": _default,
     "IndependentSACReward": _independent_sac,
@@ -187,20 +195,52 @@ _REGISTRY = {
 }
 
 
+def _dispatch(cfg: StaticConfig, x: RewardInputs,
+              single_building: bool = False) -> jnp.ndarray:
+    if cfg.reward_type == "SolarPenaltyAndComfortReward":
+        c = cfg.reward_coefficients
+        return c[0] * _solar_penalty(cfg, x) + c[1] * _comfort(cfg, x)
+    if single_building and cfg.reward_type == "MARL":
+        return _marl_single(cfg, x)
+    if cfg.reward_type in _REGISTRY:
+        return _REGISTRY[cfg.reward_type](cfg, x)
+    raise NotImplementedError(f"reward {cfg.reward_type}")
+
+
 def compute_reward(cfg: StaticConfig, x: RewardInputs,
                    ev: Optional[EVRewardInputs] = None) -> jnp.ndarray:
-    """Dispatch on ``cfg.reward_type``; central agent sums to shape (1,)."""
+    """Dispatch on ``cfg.reward_type`` (or per-building on
+    ``cfg.reward_per_building``); central agent sums to shape (1,)."""
+    if cfg.reward_per_building is not None:
+        # MultiBuildingRewardFunction: group buildings sharing (type, attrs),
+        # evaluate each group's function once over the full building axis,
+        # and select members via static masks (citylearn.py:2108-2141)
+        import dataclasses
+
+        import numpy as np
+
+        B = x.net.shape[0]
+        groups = {}
+        for bi, prm in enumerate(cfg.reward_per_building):
+            groups.setdefault(prm, []).append(bi)
+        r = jnp.zeros((B,), jnp.float32)
+        for (t, expo, band, lo, hi, coef), members in groups.items():
+            gcfg = dataclasses.replace(
+                cfg, reward_type=t, reward_exponent=expo, reward_band=band,
+                reward_lower_exponent=lo, reward_higher_exponent=hi,
+                reward_coefficients=coef, reward_per_building=None)
+            mask = np.zeros(B, bool)
+            mask[members] = True
+            r = jnp.where(jnp.asarray(mask),
+                          _dispatch(gcfg, x, single_building=True), r)
+        if cfg.central_agent:
+            return jnp.sum(r, keepdims=True)
+        return r
+
     if cfg.reward_type == "Electric_Vehicles_Reward_Function":
         assert ev is not None, "EV reward requires charger inputs"
         return _ev_reward(cfg, x, ev)
-    if cfg.reward_type == "SolarPenaltyAndComfortReward":
-        c = cfg.reward_coefficients
-        r = c[0] * _solar_penalty(cfg, x) + c[1] * _comfort(cfg, x)
-    elif cfg.reward_type in _REGISTRY:
-        r = _REGISTRY[cfg.reward_type](cfg, x)
-    else:
-        raise NotImplementedError(f"reward {cfg.reward_type}")
-
+    r = _dispatch(cfg, x)
     if cfg.central_agent:
         return jnp.sum(r, keepdims=True)
     return r

@@ -16,11 +16,14 @@ B_PAD = 128   # TPU lane tiling: the building axis pads to one lane tile
 
 
 def eligible(cfg: StaticConfig) -> bool:
-    """Battery+PV-only districts with no outage/dynamics/EV/WM — the
-    vectorized-training workhorse configuration (2022 challenge family)."""
+    """Battery+PV-only districts with no outage/dynamics/EV/WM and the
+    default exponent-1 reward — the vectorized-training workhorse
+    configuration (2022 challenge family)."""
     return (not cfg.any_cooling and not cfg.any_heating and not cfg.any_dhw
             and not cfg.has_dynamics and not cfg.has_evs
-            and not cfg.has_washing_machines and not cfg.any_outage)
+            and not cfg.has_washing_machines and not cfg.any_outage
+            and cfg.reward_type == "RewardFunction"
+            and cfg.reward_exponent == 1.0)
 
 
 def _pad_time(arr: np.ndarray, t_pad: int) -> np.ndarray:
@@ -32,7 +35,8 @@ def _pad_time(arr: np.ndarray, t_pad: int) -> np.ndarray:
 
 def run_battery_episode(cfg: StaticConfig, params: DistrictParams,
                         n_districts: int, action_table: np.ndarray,
-                        n_steps: Optional[int] = None):
+                        n_steps: Optional[int] = None,
+                        interpret: bool = False):
     """Whole-episode rollout for ``n_districts`` identical district copies
     under an hour-indexed action table. Returns per-district per-building
     reward/cost/emission sums and final battery state."""
@@ -66,17 +70,33 @@ def run_battery_episode(cfg: StaticConfig, params: DistrictParams,
         np.zeros(B), np.zeros(B))]))
 
     def pad_curve_rows(x, identity):
+        # knot-major (P, B): each knot is a contiguous lane row in VMEM
+        # (see ops/pallas_battery._interp)
         arr = np.asarray(x, np.float32)
         out = np.tile(identity[None, :].astype(np.float32), (B_PAD, 1))
         out[:B] = arr
-        return jnp.asarray(out)
+        return jnp.asarray(out.T.copy())
 
     P = bat.power_efficiency_curve_x.shape[1]
-    ident_x = np.linspace(0, 1, P)
+    # 2-knot identity for padded building columns (then pad-repeated like
+    # compiler/seeding.pad_curve) so it never inflates the trimmed count
+    ident_x = np.concatenate([[0.0], np.ones(P - 1)])
     curves = (pad_curve_rows(bat.power_efficiency_curve_x, ident_x),
               pad_curve_rows(bat.power_efficiency_curve_y, np.ones(P)),
               pad_curve_rows(bat.capacity_power_curve_x, ident_x),
               pad_curve_rows(bat.capacity_power_curve_y, np.ones(P)))
+    # trim trailing pad-repeated knots (compiler/seeding.pad_curve repeats
+    # the last knot): the kernel's unrolled select chains scale with
+    # n_knots, so fewer knots = much faster Mosaic compile. Repeated tail
+    # knots never win the reference's strict `x < q` count, so trimming is
+    # semantics-preserving.
+    n_knots = 2
+    for cx in (curves[0], curves[2]):
+        x = np.asarray(cx)                      # (P, B) knot-major
+        diffs = np.any(x[1:] != x[:-1], axis=1)  # knot k+1 differs from k
+        if diffs.any():
+            n_knots = max(n_knots, int(np.max(np.nonzero(diffs)[0])) + 2)
+    curves = tuple(c[:n_knots] for c in curves)
 
     D = n_districts
     tile = lambda v: jnp.asarray(
@@ -85,5 +105,5 @@ def run_battery_episode(cfg: StaticConfig, params: DistrictParams,
         jnp.asarray(actions), series, bparams, curves,
         tile(bat.initial_soc), tile(bat.efficiency), tile(bat.capacity),
         n_steps=S, hours_ratio=cfg.seconds_per_time_step / 3600.0,
-        ratio=cfg.time_step_ratio)
+        ratio=cfg.time_step_ratio, n_knots=n_knots, interpret=interpret)
     return tuple(o[:, :B] for o in out)

@@ -209,6 +209,10 @@ class StaticConfig:
     reward_lower_exponent: float = 2.0
     reward_higher_exponent: float = 2.0
     reward_coefficients: Tuple[float, ...] = (1.0, 1.0)  # SolarPenaltyAndComfortReward weights
+    # MultiBuildingRewardFunction (reference citylearn.py:2108-2141,
+    # reward_function.py:90-118): per-building (type, exponent, band,
+    # lower_exponent, higher_exponent, coefficients); None = single reward
+    reward_per_building: Optional[Tuple[Tuple, ...]] = None
     # LSTM dynamics groups: per group static meta
     # (lookback, num_layers, hidden, n_channels, temp_ch, cool_ch, heat_ch)
     dyn_groups: Tuple[Tuple[int, int, int, int, int, int, int], ...] = ()

@@ -30,39 +30,46 @@ T_CHUNK = 512
 P = 12            # padded curve knots (compiler/seeding.pad_curve)
 
 
-def _interp(q, xs, ys):
+def _interp(q, xs, ys, n_knots: int):
     """Reference curve lookup (``energy_model.py:1083,1103``):
     ``idx = max(0, argmax(q <= x) - 1)``, all-False -> first segment.
-    ``q``: (TILE, B); ``xs``/``ys``: (B, P) broadcast rows."""
+
+    ``q``: (TILE, B); ``xs``/``ys``: (n_knots, B) — knot-major so each knot
+    is a contiguous (B,) lane row. The (B, P) layout's per-column
+    extraction (``xs[:, k]``) is a lane-strided gather that stalls the
+    Mosaic compiler; row slices are free. ``n_knots`` is the true distinct
+    knot count (trailing pad repeats trimmed by the dispatcher) — the
+    unrolled select chains scale with it, so smaller = faster compile."""
     # first true index of q <= x == count of x < q for sorted knots
     first = jnp.zeros_like(q, dtype=jnp.int32)
-    for k in range(P):
-        first = first + (xs[:, k][None, :] < q).astype(jnp.int32)
-    no_match = first >= P
+    for k in range(n_knots):
+        first = first + (xs[k, :][None, :] < q).astype(jnp.int32)
+    no_match = first >= n_knots
     idx = jnp.where(no_match, 0, jnp.maximum(0, first - 1))
     x0 = jnp.zeros_like(q)
     x1 = jnp.zeros_like(q)
     y0 = jnp.zeros_like(q)
     y1 = jnp.zeros_like(q)
-    for k in range(P - 1):
+    for k in range(n_knots - 1):
         sel = idx == k
-        x0 = jnp.where(sel, xs[:, k][None, :], x0)
-        x1 = jnp.where(sel, xs[:, k + 1][None, :], x1)
-        y0 = jnp.where(sel, ys[:, k][None, :], y0)
-        y1 = jnp.where(sel, ys[:, k + 1][None, :], y1)
+        x0 = jnp.where(sel, xs[k, :][None, :], x0)
+        x1 = jnp.where(sel, xs[k + 1, :][None, :], x1)
+        y0 = jnp.where(sel, ys[k, :][None, :], y0)
+        y1 = jnp.where(sel, ys[k + 1, :][None, :], y1)
     return y0 + (q - x0) * (y1 - y0) / (x1 - x0)
 
 
 def _episode_kernel(actions_ref,            # scalar prefetch: (S,) f32
                     nsl_hbm, solar_hbm, price_hbm, carbon_hbm,   # (T, B) HBM
                     bparams_ref,            # (8, B) VMEM
-                    pec_x_ref, pec_y_ref, cpc_x_ref, cpc_y_ref,  # (B, P) VMEM
+                    pec_x_ref, pec_y_ref, cpc_x_ref, cpc_y_ref,  # (P, B) VMEM
                     soc0_ref, eff0_ref, deg0_ref,                # (TILE, B) VMEM
                     reward_ref, cost_ref, emission_ref,          # (TILE, B) out
                     soc_ref, eff_ref, deg_ref,                   # (TILE, B) out
                     nsl_buf, solar_buf, price_buf, carbon_buf,   # (2, CH, B) scratch
                     sems,                   # DMA sems (2, 4)
-                    *, n_steps: int, hours_ratio: float, ratio: float):
+                    *, n_steps: int, hours_ratio: float, ratio: float,
+                    n_knots: int):
     cap = bparams_ref[0, :][None, :]
     nominal = bparams_ref[1, :][None, :]
     loss = bparams_ref[2, :][None, :]
@@ -111,18 +118,20 @@ def _episode_kernel(actions_ref,            # scalar prefetch: (S,) f32
             energy = a * nominal * hours_ratio     # /ratio then *ratio cancel
             energy_init = jnp.maximum(0.0, soc * cap * (1.0 - loss))
             soc_norm = energy_init / jnp.maximum(cap, ZERO)
-            max_power = nominal * _interp(soc_norm, cpc_x, cpc_y)
+            max_power = nominal * _interp(soc_norm, cpc_x, cpc_y, n_knots)
 
             charging = energy >= 0.0
             e_chg = jnp.minimum(jnp.minimum(max_power, nominal),
                                 jnp.minimum(deg - energy_init, energy))
             eff_chg = _interp(jnp.abs(jnp.minimum(energy, max_power))
-                              / jnp.maximum(nominal, ZERO), pec_x, pec_y)
+                              / jnp.maximum(nominal, ZERO), pec_x, pec_y,
+                              n_knots)
             old_rt = jnp.sqrt(eff)
             e_dod = -jnp.maximum((soc - (1.0 - dod)) * cap * old_rt, 0.0)
             e_dis = jnp.maximum(jnp.maximum(-max_power, e_dod), energy)
             eff_dis = _interp(jnp.minimum(jnp.abs(energy), max_power)
-                              / jnp.maximum(nominal, ZERO), pec_x, pec_y)
+                              / jnp.maximum(nominal, ZERO), pec_x, pec_y,
+                              n_knots)
 
             e = jnp.where(charging, e_chg, e_dis)
             new_eff = jnp.where(charging, eff_chg, eff_dis)
@@ -146,7 +155,9 @@ def _episode_kernel(actions_ref,            # scalar prefetch: (S,) f32
             live = t < n_steps
             keep = lambda new, old: jnp.where(live, new, old)
             rew = keep(rew - jnp.maximum(net, 0.0), rew)
-            cost = keep(cost + jnp.maximum(net * price, 0.0), cost)
+            # cost is unclamped (building.py:2686), emission clamps at 0
+            # (building.py:2691) — matching core/step.py:455-456
+            cost = keep(cost + net * price, cost)
             emis = keep(emis + jnp.maximum(net * carbon, 0.0), emis)
             return (keep(new_soc, soc), keep(new_eff, eff),
                     keep(new_deg, deg), rew, cost, emis)
@@ -166,11 +177,13 @@ def _episode_kernel(actions_ref,            # scalar prefetch: (S,) f32
     deg_ref[:, :] = deg
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "hours_ratio", "ratio"))
+@functools.partial(jax.jit, static_argnames=("n_steps", "hours_ratio", "ratio",
+                                              "n_knots", "interpret"))
 def battery_episode(actions: jnp.ndarray, series: Tuple[jnp.ndarray, ...],
                     bparams: jnp.ndarray, curves: Tuple[jnp.ndarray, ...],
                     soc0: jnp.ndarray, eff0: jnp.ndarray, deg0: jnp.ndarray,
-                    n_steps: int, hours_ratio: float, ratio: float):
+                    n_steps: int, hours_ratio: float, ratio: float,
+                    n_knots: int = P, interpret: bool = False):
     """Run a full episode for a (D, B) district batch.
 
     actions: (S_pad,) per-step scalar action (hour-RBC style, shared across
@@ -186,7 +199,7 @@ def battery_episode(actions: jnp.ndarray, series: Tuple[jnp.ndarray, ...],
     state_spec = pl.BlockSpec((TILE_D, B), lambda i, _a: (i, 0),
                               memory_space=pltpu.VMEM)
     out_shapes = [jax.ShapeDtypeStruct((D, B), jnp.float32)] * 6
-    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -200,11 +213,13 @@ def battery_episode(actions: jnp.ndarray, series: Tuple[jnp.ndarray, ...],
         + [pltpu.SemaphoreType.DMA((2, 4))],
     )
     kernel = functools.partial(_episode_kernel, n_steps=n_steps,
-                               hours_ratio=hours_ratio, ratio=ratio)
+                               hours_ratio=hours_ratio, ratio=ratio,
+                               n_knots=n_knots)
     pec_x, pec_y, cpc_x, cpc_y = curves
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
+        interpret=interpret,
     )(actions, nsl, solar, price, carbon, bparams,
       pec_x, pec_y, cpc_x, cpc_y, soc0, eff0, deg0)

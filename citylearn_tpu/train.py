@@ -388,6 +388,39 @@ class BatchedSAC:
         return chunk
 
     # ------------------------------------------------------------------
+    def evaluate(self, n_steps: int = None,
+                 baseline_condition: str = "_without_storage"):
+        """In-graph KPI tables for every district under the current
+        deterministic policy — one device computation, no host sync per
+        step (reference ``citylearn.py:1136-1323`` semantics via
+        :mod:`citylearn_tpu.core.evaluate`). Returns
+        ``district|<kpi>`` -> (D,) and ``building|<kpi>`` -> (D, B)."""
+        from citylearn_tpu.core.evaluate import evaluate_districts
+
+        A = self.env_cfg.n_buildings
+
+        def policy_fn(params, st):
+            tau = st.data_offset + st.t
+            row = jnp.take(params.obs_static, tau, axis=0)     # (B, K_union)
+            obs = jax.vmap(lambda e, col: encode_obs(e, col))(
+                self.enc_stack, row)                            # (A, K)
+            key = jax.random.fold_in(self.state.key, 0)
+            _, _, det = jax.vmap(_policy_sample, in_axes=(0, 0, 0, 0, 0, 0))(
+                self.nets_for_eval, obs, jax.random.split(key, A),
+                self.action_scale, self.action_bias, self.act_mask)
+            a_env = det[None, :, :]                             # (1, A, M)
+            acts = self._actions_dict(a_env)
+            return {k: v[0] for k, v in acts.items()}
+
+        self.nets_for_eval = self.state.nets.policy
+        fresh = self._broadcast_initial(
+            self._draw_offsets(jax.random.fold_in(self.state.key, 1),
+                               self.cfg.n_districts))
+        return evaluate_districts(self.env_cfg, self.params, fresh,
+                                  policy_fn, n_steps=n_steps,
+                                  baseline_condition=baseline_condition)
+
+    # ------------------------------------------------------------------
     def train(self, n_steps: int, chunk: int = 200):
         """Run ``n_steps`` env steps of collect+update; returns mean reward
         per chunk."""

@@ -66,3 +66,13 @@ class NoiseUtils:
     def generate_scaled_noise(input_data, noise_std: float, scale: float = 1.0,
                               rng: np.random.RandomState = None) -> np.ndarray:
         return NoiseUtils.generate_gaussian_noise(input_data, noise_std, rng) * scale
+
+    @staticmethod
+    def make_noise_fn(noise_std: float, rng: np.random.RandomState = None):
+        """``noise(n) -> (n,) float64`` drawing from ``rng`` when
+        ``noise_std > 0``, zeros (and no stream consumption) otherwise —
+        the reference's ``generate_gaussian_noise`` gating
+        (``utilities.py:166-170``)."""
+        def noise(n: int) -> np.ndarray:
+            return NoiseUtils.generate_gaussian_noise(np.empty(n), noise_std, rng)
+        return noise

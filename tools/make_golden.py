@@ -106,10 +106,118 @@ def record(name, schema, policy_name, episode_time_steps, central_agent=False,
     return steps_per_sec
 
 
+def noisy_schema_dict(schema_path, noise_std):
+    """Schema dict with per-building Gaussian observation noise enabled."""
+    import os
+
+    with open(schema_path) as f:
+        schema = json.load(f)
+    schema["root_directory"] = os.path.dirname(schema_path)
+    for b in schema["buildings"].values():
+        b["noise_std"] = noise_std
+    return schema
+
+
+def multi_reward_schema_dict(schema_path):
+    """Schema dict whose reward_function.type is a per-building dict
+    (reference citylearn.py:2108-2141 -> MultiBuildingRewardFunction)."""
+    import os
+
+    with open(schema_path) as f:
+        schema = json.load(f)
+    schema["root_directory"] = os.path.dirname(schema_path)
+    names = [n for n, b in schema["buildings"].items() if b.get("include", True)]
+    schema["reward_function"] = {
+        "type": {
+            names[0]: "citylearn.reward_function.SolarPenaltyReward",
+            names[1]: "citylearn.reward_function.RewardFunction",
+            "default": "citylearn.reward_function.IndependentSACReward",
+        },
+        "attributes": {
+            names[1]: {"exponent": 2.0},
+            "default": {},
+        },
+    }
+    return schema
+
+
+def record_multi_reward(name, schema_path, seed=0):
+    schema = multi_reward_schema_dict(schema_path)
+    env = CityLearnEnv(schema, central_agent=False, episode_time_steps=168,
+                       random_seed=seed)
+    np.random.seed(seed)
+    policy = make_scripted_policy(123)
+    obs, _ = env.reset()
+    observations = [[list(map(float, o)) for o in obs]]
+    rewards = []
+    steps = 0
+    while not env.terminated:
+        obs, r, term, trunc, _ = env.step(policy(env, steps))
+        observations.append([list(map(float, o)) for o in obs])
+        # MultiBuildingRewardFunction returns per-building 1-lists
+        # (reward_function.py:97-103) — flatten to (B,)
+        rewards.append([float(np.ravel(v)[0]) for v in r])
+        steps += 1
+    rew_arr = np.asarray(rewards, np.float64)
+    obs_arr = np.asarray([np.concatenate([np.asarray(a, np.float64) for a in o])
+                          for o in observations])
+    np.savez_compressed(f"{OUT}/{name}.npz", observations=obs_arr,
+                        rewards=rew_arr,
+                        kpi_names=np.asarray([], dtype="U1"),
+                        kpi_values=np.asarray([], np.float64),
+                        elapsed=np.asarray([0.0]),
+                        steps=np.asarray([len(rewards)]))
+    print(f"{name}: {len(rewards)} steps (multi-building reward)")
+
+
+def record_noisy(name, schema_path, noise_std=0.25, seed=0):
+    """Seeded noisy run: np.random.seed immediately before construction
+    makes the reference's global-RNG noise draws (utilities.py:148-171)
+    reproducible; the rebuild's seeded compile-time noise stream matches."""
+    schema = noisy_schema_dict(schema_path, noise_std)
+    np.random.seed(seed)
+    env = CityLearnEnv(schema, central_agent=False, episode_time_steps=168,
+                       random_seed=seed)
+    policy = make_scripted_policy(123)
+    observations, rewards = rollout(env, policy)
+    kpis = env.evaluate()
+    obs_arr = np.asarray([np.concatenate([np.asarray(a, np.float64) for a in o])
+                          for o in observations])
+    np.savez_compressed(
+        f"{OUT}/{name}.npz",
+        observations=obs_arr,
+        rewards=np.asarray(rewards, np.float64),
+        kpi_names=np.asarray([f"{r.level}|{r.name}|{r.cost_function}"
+                              for r in kpis.itertuples()]),
+        kpi_values=np.asarray([np.nan if r.value is None else float(r.value)
+                               for r in kpis.itertuples()]),
+        obs_names=np.asarray(["|".join(ns) for ns in env.observation_names]),
+        elapsed=np.asarray([0.0]), steps=np.asarray([len(rewards)]))
+    print(f"{name}: {len(rewards)} steps (noise_std={noise_std})")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--noisy-only", action="store_true")
+    parser.add_argument("--year-only", action="store_true")
     args = parser.parse_args()
+
+    if args.year_only:
+        record("c2021_scripted_year",
+               f"{DATASETS}/citylearn_challenge_2021/schema.json",
+               "scripted", 8760)
+        record("c2023_scripted_full",
+               f"{DATASETS}/citylearn_challenge_2023_phase_1/schema.json",
+               "scripted", None)
+        return
+
+    if args.noisy_only:
+        record_noisy("noise_scripted_168",
+                     f"{DATASETS}/citylearn_challenge_2022_phase_1/schema.json")
+        record_multi_reward("multi_reward_scripted_168",
+                            f"{DATASETS}/citylearn_challenge_2021/schema.json")
+        return
 
     schema_2023 = f"{DATASETS}/citylearn_challenge_2023_phase_1/schema.json"
     record("c2023_zero_168", schema_2023, "zero", 168)
@@ -123,12 +231,14 @@ def main():
     record("evs_scripted_168", schema_evs, "scripted", 168)
 
     schema_2021 = f"{DATASETS}/citylearn_challenge_2021/schema.json"
+    record_multi_reward("multi_reward_scripted_168", schema_2021)
     record("c2021_zero_168", schema_2021, "zero", 168)
     record("c2021_scripted_168", schema_2021, "scripted", 168)
     record("c2021_scripted_central_720", schema_2021, "scripted", 720,
            central_agent=True)
 
     schema_2022 = f"{DATASETS}/citylearn_challenge_2022_phase_1/schema.json"
+    record_noisy("noise_scripted_168", schema_2022)
     perf = {}
     perf["p1_zero_168"] = record("phase1_zero_168", schema_2022, "zero", 168)
     perf["p1_scripted_168"] = record("phase1_scripted_168", schema_2022, "scripted", 168)
@@ -137,8 +247,18 @@ def main():
     if not args.quick:
         perf["p1_zero_year"] = record("phase1_zero_year", schema_2022, "zero", None)
         perf["p1_scripted_year"] = record("phase1_scripted_year", schema_2022, "scripted", None)
-    with open(f"{OUT}/reference_perf.json", "w") as f:
-        json.dump(perf, f, indent=2)
+    # merge into the existing JSON so a --quick regen never silently drops
+    # the year-long keys bench.py uses as its baseline denominator
+    path = f"{OUT}/reference_perf.json"
+    merged = {}
+    try:
+        with open(path) as f:
+            merged = json.load(f)
+    except FileNotFoundError:
+        pass
+    merged.update(perf)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
 
 
 if __name__ == "__main__":
