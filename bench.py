@@ -79,9 +79,20 @@ def main():
             pass
         use_fast = False                   # fall through to the XLA path
 
+    # optional jax.profiler trace of one timed rep (SURVEY.md §5.1)
+    profile_dir = os.environ.get("BENCH_PROFILE")
+
+    def maybe_profile(run_once):
+        if profile_dir:
+            from citylearn_tpu.utilities import Profiler
+            with Profiler(profile_dir):
+                run_once()
+
     if use_fast:
         out = rollout_fast.run_battery_episode(cfg, params, D, table)
         jax.block_until_ready(out[0])               # compile + warm run
+        maybe_profile(lambda: np.asarray(
+            rollout_fast.run_battery_episode(cfg, params, D, table)[0]))
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -98,6 +109,8 @@ def main():
         episode_fn = jax.jit(jax.vmap(episode, in_axes=(None, 0)))
         out_state, result = episode_fn(params, states)
         jax.block_until_ready(result["reward_sum"])     # compile + warm run
+        maybe_profile(lambda: np.asarray(
+            episode_fn(params, states)[1]["reward_sum"]))
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()

@@ -35,7 +35,7 @@ import pandas as pd
 
 from citylearn_tpu.compiler import seeding
 
-LBL_PV_FILENAME = "lbl-tracking_the_sun_res-pv.csv"
+LBL_PV_FILENAME = "lbl-tracking_the_sun-res-pv.csv"  # data.py:43
 
 # PVWatts defaults (Pvwattsv8 'PVWattsNone' standard-module configuration)
 GAMMA_PDC = -0.0037          # module max-power temperature coefficient [1/degC]

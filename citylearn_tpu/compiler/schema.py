@@ -741,12 +741,29 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
                 load_profiles=profiles[sim_start:sim_end + 1]))
 
         # --- observation/action surface --------------------------------
-        inactive_obs = b_schema.get("inactive_observations") or []
-        inactive_act = b_schema.get("inactive_actions") or []
-        active_observations = [k for k, v in obs_schema.items()
-                               if v.get("active", False) and k not in inactive_obs]
-        active_actions = [k for k, v in act_schema.items()
-                          if v.get("active", False) and k not in inactive_act]
+        # constructor overrides flip the schema's active flags in schema-key
+        # order (reference process_metadata, citylearn.py:2411-2500); flat
+        # lists apply to every building, list-of-lists per building
+        def per_building(name, fallback):
+            v = overrides.get(name)
+            if v is None:
+                return fallback
+            return v[b_index] if v and isinstance(v[0], list) else v
+
+        inactive_obs = per_building(
+            "inactive_observations", b_schema.get("inactive_observations") or [])
+        inactive_act = per_building(
+            "inactive_actions", b_schema.get("inactive_actions") or [])
+        override_obs = per_building("active_observations", None)
+        override_act = per_building("active_actions", None)
+        active_observations = [
+            k for k, v in obs_schema.items()
+            if (v.get("active", False) if override_obs is None
+                else k in override_obs) and k not in inactive_obs]
+        active_actions = [
+            k for k, v in act_schema.items()
+            if (v.get("active", False) if override_act is None
+                else k in override_act) and k not in inactive_act]
         # per-charger / per-WM / charging-constraint expansion. Empirically
         # the reference surfaces constraint observations *before* the charger
         # observations, in the order: phase one-hots, building headroom,
@@ -778,25 +795,27 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
                             f"charging_phase_{name_p}_headroom_kw")
             if bool(obs_cfg.get("violation", True)):
                 active_observations.append("charging_constraint_violation_kwh")
+        def helper_on(helper_map, key, override):
+            # overrides flip helper metadata too (citylearn.py:2432-2441)
+            if override is not None:
+                return key in override
+            v = helper_map.get(key)
+            return bool(v and v.get("active", False))
+
         for ch in chargers:
             for helper_key, template in CHARGER_OBS_EXPANSION:
-                v = charger_obs_helper.get(helper_key)
-                if v and v.get("active", False) \
+                if helper_on(charger_obs_helper, helper_key, override_obs) \
                         and helper_key not in inactive_obs:
                     active_observations.append(template.format(id=ch.charger_id))
-            v = charger_act_helper.get("electric_vehicle_storage")
-            if v and v.get("active", False) \
+            if helper_on(charger_act_helper, "electric_vehicle_storage", override_act) \
                     and "electric_vehicle_storage" not in inactive_act:
                 active_actions.append(f"electric_vehicle_storage_{ch.charger_id}")
         for wm in washing_machines:
-            v = wm_obs_helper.get("washing_machine_start_time_step")
-            if v and v.get("active", False):
+            if helper_on(wm_obs_helper, "washing_machine_start_time_step", override_obs):
                 active_observations.append(f"{wm.name}_start_time_step")
-            v = wm_obs_helper.get("washing_machine_end_time_step")
-            if v and v.get("active", False):
+            if helper_on(wm_obs_helper, "washing_machine_end_time_step", override_obs):
                 active_observations.append(f"{wm.name}_end_time_step")
-            v = wm_act_helper.get("washing_machine")
-            if v and v.get("active", False):
+            if helper_on(wm_act_helper, "washing_machine", override_act):
                 active_actions.append(wm.name)
 
         power_outage_cfg = b_schema.get("power_outage") or {}

@@ -591,6 +591,43 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
             occ_hold_counter=counter, occ_prev_temp=temp_t,
             occ_prev_csp=csp_eff, occ_prev_hsp=hsp_eff)
 
+    # ---- debug-mode physics assertions (reference building.py:1825-1834,
+    # 657-665; SURVEY.md §5.2) — compiled in only when
+    # core.debug.enable_checks(True) was set before tracing ----
+    from citylearn_tpu.core import debug as _debug
+    if _debug.checks_enabled():
+        eps = 1e-3
+        checks = {
+            "soc_prev_in_[0,1]": (
+                (state.battery_soc >= -eps) & (state.battery_soc <= 1 + eps)
+                & (state.cooling_storage_soc >= -eps)
+                & (state.cooling_storage_soc <= 1 + eps)
+                & (state.heating_storage_soc >= -eps)
+                & (state.heating_storage_soc <= 1 + eps)
+                & (state.dhw_storage_soc >= -eps)
+                & (state.dhw_storage_soc <= 1 + eps)),
+            "soc_new_in_[0,1]": (
+                (bat_soc >= -eps) & (bat_soc <= 1 + eps)
+                & (cool.soc >= -eps) & (cool.soc <= 1 + eps)
+                & (heat.soc >= -eps) & (heat.soc <= 1 + eps)
+                & (dhw.soc >= -eps) & (dhw.soc <= 1 + eps)),
+            # device apply-phase consumption >= 0 (building.py:1831-1834)
+            "consumption_nonnegative": (
+                (cool.apply_consumption >= -eps)
+                & (heat.apply_consumption >= -eps)
+                & (dhw.apply_consumption >= -eps) & (nsl_met >= -eps)),
+            # met demand never exceeds requested demand (building.py:1825)
+            "output_at_most_demand": (
+                (cool.device_output <= cooling_demand + eps)
+                & (heat.device_output <= heating_demand + eps)
+                & (dhw.device_output <= dhw_demand + eps)),
+            "net_finite": jnp.isfinite(net),
+        }
+        if cfg.has_evs:
+            checks["ev_soc_in_[0,1]"] = ((ev_soc_new >= -eps)
+                                         & (ev_soc_new <= 1 + eps))
+        _debug.runtime_check(checks)
+
     new_state = state.replace(
         t=t + 1,
         battery_soc=bat_soc,

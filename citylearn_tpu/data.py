@@ -23,9 +23,54 @@ GITHUB_CONTENTS_URL = ("https://api.github.com/repos/intelligent-environments-la
                        "CityLearn/contents/data/datasets")
 
 
+MISC_ROOTS = [
+    os.environ.get("CITYLEARN_MISC_ROOT"),
+    "/root/reference/data/misc",
+    os.path.join(str(Path.home()), ".cache", "citylearn_tpu", "misc"),
+]
+
+
 class DataSet:
+    # reference citylearn/data.py:42-43
+    BATTERY_CHOICES_FILENAME = "battery_choices.yaml"
+    PV_CHOICES_FILENAME = "lbl-tracking_the_sun-res-pv.csv"
+
     def __init__(self, roots: Optional[List[str]] = None):
         self.roots = [r for r in (roots or DEFAULT_ROOTS) if r]
+
+    # -- sizing-data accessors (reference data.py:191-259) ---------------
+    def _misc_file(self, filename: str) -> Optional[str]:
+        for root in MISC_ROOTS:
+            if root and os.path.isfile(os.path.join(root, filename)):
+                return os.path.join(root, filename)
+        return None
+
+    def get_battery_sizing_data(self):
+        """Real-world battery manufacturer models as a DataFrame indexed by
+        model (reference ``data.py:224-259``; reads the bundled
+        ``battery_choices.yaml``)."""
+        import pandas as pd
+        import yaml
+
+        path = self._misc_file(self.BATTERY_CHOICES_FILENAME)
+        if path is None:
+            raise FileNotFoundError(
+                f"{self.BATTERY_CHOICES_FILENAME} not found in misc roots "
+                f"{[r for r in MISC_ROOTS if r]}")
+        with open(path) as f:
+            data = yaml.safe_load(f)
+        data = pd.DataFrame([{"model": k, **v["attributes"]}
+                             for k, v in data.items()])
+        return data.set_index("model")
+
+    def get_pv_sizing_data(self):
+        """LBNL Tracking-the-Sun residential-PV sample (reference
+        ``data.py:191-226``). Reads a locally cached CSV when present;
+        otherwise returns the documented deterministic synthetic stand-in
+        with the same columns (zero-egress environments cannot download
+        the LBNL file)."""
+        from citylearn_tpu.compiler.pv_autosize import get_pv_sizing_data
+        return get_pv_sizing_data()
 
     def get_dataset_names(self) -> List[str]:
         names = set()

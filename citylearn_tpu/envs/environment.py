@@ -65,7 +65,11 @@ class CityLearnEnv:
             random_episode_split=random_episode_split,
             simulation_start_time_step=simulation_start_time_step,
             simulation_end_time_step=simulation_end_time_step,
-            random_seed=random_seed, solar_generation=solar_generation)
+            random_seed=random_seed, solar_generation=solar_generation,
+            # remaining constructor overrides (active/inactive observation
+            # and action lists etc., reference citylearn.py:138-201) pass
+            # straight through to the compiler
+            **kwargs)
         self.cfg, self.params, self.layout = pack(self.spec)
         if reward_function is not None:
             self.cfg = type(self.cfg)(**{**self.cfg.__dict__,

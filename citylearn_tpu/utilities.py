@@ -76,3 +76,31 @@ class NoiseUtils:
         def noise(n: int) -> np.ndarray:
             return NoiseUtils.generate_gaussian_noise(np.empty(n), noise_std, rng)
         return noise
+
+
+class Profiler:
+    """jax.profiler integration (SURVEY.md §5.1): wrap a hot region to dump
+    a TensorBoard-compatible device trace.
+
+    ::
+
+        with Profiler("/tmp/trace"):
+            episode_fn(params, states)
+
+    ``bench.py`` activates this via ``BENCH_PROFILE=<dir>``.
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        return False

@@ -244,13 +244,14 @@ class DiscreteObservationWrapper(Wrapper):
                 for bins in self.bin_sizes]
 
     def _discretize(self, obs):
+        # exact reference semantics (wrappers.py:295-308):
+        # np.digitize(v, linspace(lo, hi, n), right=True) — UNclamped, so
+        # the result ranges over 0..n inclusive (n + 1 values)
         out = []
         for o, s, bins in zip(obs, self.env.observation_space, self.bin_sizes):
-            row = []
-            for v, lo, hi, n in zip(o, s.low, s.high, bins):
-                edges = np.linspace(lo, hi, n)
-                row.append(int(np.digitize(v, edges) - 1) if hi > lo else 0)
-            out.append([max(0, min(n - 1, x)) for x, n in zip(row, bins)])
+            row = [int(np.digitize(v, np.linspace(lo, hi, n), right=True))
+                   for v, lo, hi, n in zip(o, s.low, s.high, bins)]
+            out.append(row)
         return out
 
     def reset(self, **kwargs):
@@ -291,23 +292,32 @@ class DiscreteActionWrapper(Wrapper):
 
 
 class DiscreteSpaceWrapper(Wrapper):
-    def __init__(self, env, observation_bin_sizes=None, action_bin_sizes=None):
+    def __init__(self, env, observation_bin_sizes=None, action_bin_sizes=None,
+                 default_observation_bin_size: int = None,
+                 default_action_bin_size: int = None):
         super().__init__(DiscreteActionWrapper(
-            DiscreteObservationWrapper(env, observation_bin_sizes),
-            action_bin_sizes))
+            DiscreteObservationWrapper(env, observation_bin_sizes,
+                                       default_observation_bin_size),
+            action_bin_sizes, default_action_bin_size))
 
 
 class TabularQLearningObservationWrapper(Wrapper):
-    """Cross-product Discrete observation index (reference ``wrappers.py:393-441``)."""
+    """Cross-product Discrete observation index (reference ``wrappers.py:393-441``).
 
-    def __init__(self, env, bin_sizes=None):
-        super().__init__(DiscreteObservationWrapper(env, bin_sizes))
-        self.combinations = [list(itertools.product(*[range(n) for n in bins]))
+    Combinations enumerate ``range(n + 1)`` per dimension because the
+    unclamped right-inclusive digitize yields n + 1 possible values, and
+    the space is ``Discrete(len(combinations) - 1)`` — both reference
+    quirks (``wrappers.py:417-440``)."""
+
+    def __init__(self, env, bin_sizes=None, default_bin_size: int = None):
+        super().__init__(DiscreteObservationWrapper(env, bin_sizes,
+                                                    default_bin_size))
+        self.combinations = [list(itertools.product(*[range(n + 1) for n in bins]))
                              for bins in self.env.bin_sizes]
 
     @property
     def observation_space(self):
-        return [gym_spaces.Discrete(len(c)) for c in self.combinations]
+        return [gym_spaces.Discrete(len(c) - 1) for c in self.combinations]
 
     def _index(self, obs):
         return [[c.index(tuple(o))] for o, c in zip(obs, self.combinations)]
@@ -324,8 +334,8 @@ class TabularQLearningObservationWrapper(Wrapper):
 class TabularQLearningActionWrapper(Wrapper):
     """Cross-product Discrete action index (reference ``wrappers.py:442-490``)."""
 
-    def __init__(self, env, bin_sizes=None):
-        super().__init__(DiscreteActionWrapper(env, bin_sizes))
+    def __init__(self, env, bin_sizes=None, default_bin_size: int = None):
+        super().__init__(DiscreteActionWrapper(env, bin_sizes, default_bin_size))
         self.combinations = [list(itertools.product(*[range(n) for n in bins]))
                              for bins in self.env.bin_sizes]
 
@@ -340,10 +350,13 @@ class TabularQLearningActionWrapper(Wrapper):
 
 
 class TabularQLearningWrapper(Wrapper):
-    def __init__(self, env, observation_bin_sizes=None, action_bin_sizes=None):
+    def __init__(self, env, observation_bin_sizes=None, action_bin_sizes=None,
+                 default_observation_bin_size: int = None,
+                 default_action_bin_size: int = None):
         super().__init__(TabularQLearningActionWrapper(
-            TabularQLearningObservationWrapper(env, observation_bin_sizes),
-            action_bin_sizes))
+            TabularQLearningObservationWrapper(env, observation_bin_sizes,
+                                               default_observation_bin_size),
+            action_bin_sizes, default_action_bin_size))
 
 
 class StableBaselines3Wrapper(Wrapper if gym_spaces is None else gymnasium.Env):
@@ -382,24 +395,38 @@ class StableBaselines3Wrapper(Wrapper if gym_spaces is None else gymnasium.Env):
 
 class RLlibSingleAgentWrapper(StableBaselines3Wrapper):
     """SB3-style flattening with an env_config constructor
-    (reference ``wrappers.py:623-663``)."""
+    (reference ``wrappers.py:623-663``): ``env_config['env_kwargs']``
+    initializes the env (central_agent forced True) and an optional
+    ``env_config['wrappers']`` list wraps it first."""
 
     def __init__(self, env_config: Mapping[str, Any]):
         from citylearn_tpu.envs.environment import CityLearnEnv
-        env = CityLearnEnv(**env_config)
+        env_kwargs = dict(env_config["env_kwargs"])
+        env_kwargs["central_agent"] = True
+        assert "schema" in env_kwargs, "missing schema key in env_kwargs."
+        env = CityLearnEnv(**env_kwargs)
+        for w in (env_config.get("wrappers") or []):
+            env = w(env)
         super().__init__(env)
 
 
 class RLlibMultiAgentEnv:
-    """Dict-keyed per-building multi-agent protocol
-    (reference ``wrappers.py:756-856``)."""
+    """Dict-keyed per-building multi-agent protocol with ``agent_<i>``
+    policy ids (reference ``wrappers.py:664-856``): env_config['env_kwargs']
+    initializes the env (central_agent forced False), optional
+    env_config['wrappers'] wrap first."""
 
     def __init__(self, env_config: Mapping[str, Any]):
         from citylearn_tpu.envs.environment import CityLearnEnv
-        kwargs = dict(env_config)
-        kwargs["central_agent"] = False
-        self.env = CityLearnEnv(**kwargs)
-        self._agent_ids = [b.name for b in self.env.spec.buildings]
+        env_kwargs = dict(env_config["env_kwargs"])
+        env_kwargs["central_agent"] = False
+        assert "schema" in env_kwargs, "missing schema key in env_kwargs."
+        env = CityLearnEnv(**env_kwargs)
+        for w in (env_config.get("wrappers") or []):
+            env = w(env)
+        self.env = env
+        self._agent_ids = [f"agent_{i}"
+                           for i in range(len(self.env.spec.buildings))]
 
     def __getattr__(self, name):
         return getattr(self.env, name)

@@ -106,6 +106,66 @@ def record(name, schema, policy_name, episode_time_steps, central_agent=False,
     return steps_per_sec
 
 
+def record_wrappers(seed=0):
+    """Golden traces for the Discrete/TabularQ/RLlib interop wrappers
+    (reference wrappers.py:241-515, 664-856)."""
+    from citylearn.wrappers import (
+        DiscreteSpaceWrapper,
+        TabularQLearningWrapper,
+    )
+
+    schema = f"{DATASETS}/citylearn_challenge_2022_phase_1/schema.json"
+
+    # --- Discrete (decentralized, default 10 bins) ---
+    env = DiscreteSpaceWrapper(CityLearnEnv(
+        schema, central_agent=False, episode_time_steps=48, random_seed=seed))
+    obs0, _ = env.reset()
+    acts = [[7] * s.shape[0] for s in env.action_space]
+    obs1, r1, *_ = env.step(acts)
+    np.savez_compressed(
+        f"{OUT}/wrap_discrete.npz",
+        obs_nvec=np.concatenate([s.nvec for s in env.observation_space]),
+        act_nvec=np.concatenate([s.nvec for s in env.action_space]),
+        obs0=np.asarray(obs0, np.int64), obs1=np.asarray(obs1, np.int64),
+        rewards=np.asarray(r1, np.float64))
+
+    # --- TabularQ (tiny active surface to keep the cross-product small) ---
+    env = TabularQLearningWrapper(
+        CityLearnEnv(schema, central_agent=False, episode_time_steps=48,
+                     random_seed=seed, active_observations=["hour"],
+                     active_actions=["electrical_storage"]),
+        default_observation_bin_size=12, default_action_bin_size=5)
+    obs0, _ = env.reset()
+    obs_n = [s.n for s in env.observation_space]
+    act_n = [s.n for s in env.action_space]
+    obs1, r1, *_ = env.step([[3] for _ in act_n])
+    obs2, r2, *_ = env.step([[0] for _ in act_n])
+    np.savez_compressed(
+        f"{OUT}/wrap_tabularq.npz",
+        obs_n=np.asarray(obs_n), act_n=np.asarray(act_n),
+        obs0=np.asarray(obs0, np.int64), obs1=np.asarray(obs1, np.int64),
+        obs2=np.asarray(obs2, np.int64),
+        r1=np.asarray(r1, np.float64), r2=np.asarray(r2, np.float64))
+
+    # --- RLlib multi-agent dict protocol: the reference wrappers are pure
+    # restructuring of the base env (wrappers.py:664-755: obs dict keyed
+    # agent_<i>, dict actions -> list-of-lists via dict-value order, reward
+    # dict); record the equivalent base trace with those conversions ---
+    env = CityLearnEnv(schema, central_agent=False, episode_time_steps=48,
+                       random_seed=seed)
+    obs0_l, _ = env.reset()
+    agent_ids = [f"agent_{i}" for i in range(len(env.buildings))]
+    acts = [[0.25] * s.shape[0] for s in env.action_space]
+    obs1_l, r1, *_ = env.step(acts)
+    np.savez_compressed(
+        f"{OUT}/wrap_rllib_ma.npz",
+        agent_ids=np.asarray(agent_ids),
+        obs0=np.stack([np.asarray(o, np.float64) for o in obs0_l]),
+        obs1=np.stack([np.asarray(o, np.float64) for o in obs1_l]),
+        rewards=np.asarray(r1, np.float64))
+    print("wrapper goldens: discrete, tabularq, rllib_ma")
+
+
 def noisy_schema_dict(schema_path, noise_std):
     """Schema dict with per-building Gaussian observation noise enabled."""
     import os
@@ -201,7 +261,12 @@ def main():
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--noisy-only", action="store_true")
     parser.add_argument("--year-only", action="store_true")
+    parser.add_argument("--wrappers-only", action="store_true")
     args = parser.parse_args()
+
+    if args.wrappers_only:
+        record_wrappers()
+        return
 
     if args.year_only:
         record("c2021_scripted_year",
