@@ -96,6 +96,9 @@ class TrainState(NamedTuple):
 class BatchedSAC:
     """Vectorized SAC over ``n_districts`` instances of one dataset."""
 
+    extra_obs_dim = 0      # extra policy-input dims appended by subclasses
+                           # (BatchedMARLISA's coordination variables)
+
     def __init__(self, schema, cfg: TrainConfig = TrainConfig(), seed: int = 0,
                  mesh: Optional["jax.sharding.Mesh"] = None, **schema_kwargs):
         self.cfg = cfg
@@ -110,7 +113,8 @@ class BatchedSAC:
         # --- observations: pad per-building encoders to a common width ---
         enc = pad_encoder_specs(
             [build_encoder_spec(self.spec, self.layout, i) for i in range(B)])
-        self.obs_dim = int(enc[0].src.shape[0])
+        self.enc_dim = int(enc[0].src.shape[0])
+        self.obs_dim = self.enc_dim + self.extra_obs_dim
         self.enc_stack = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *enc)
 
@@ -404,7 +408,12 @@ class BatchedSAC:
             row = jnp.take(params.obs_static, tau, axis=0)     # (B, K_union)
             obs = jax.vmap(lambda e, col: encode_obs(e, col))(
                 self.enc_stack, row)                            # (A, K)
-            key = jax.random.fold_in(self.state.key, 0)
+            if self.extra_obs_dim:
+                # deterministic evaluation without information sharing:
+                # the extra (coordination) dims evaluate at zero
+                obs = jnp.pad(obs, ((0, 0), (0, self.extra_obs_dim)))
+            key = jax.random.fold_in(
+                getattr(self.state, "base", self.state).key, 0)
             _, _, det = jax.vmap(_policy_sample, in_axes=(0, 0, 0, 0, 0, 0))(
                 self.nets_for_eval, obs, jax.random.split(key, A),
                 self.action_scale, self.action_bias, self.act_mask)
@@ -412,9 +421,10 @@ class BatchedSAC:
             acts = self._actions_dict(a_env)
             return {k: v[0] for k, v in acts.items()}
 
-        self.nets_for_eval = self.state.nets.policy
+        base_state = getattr(self.state, "base", self.state)
+        self.nets_for_eval = base_state.nets.policy
         fresh = self._broadcast_initial(
-            self._draw_offsets(jax.random.fold_in(self.state.key, 1),
+            self._draw_offsets(jax.random.fold_in(base_state.key, 1),
                                self.cfg.n_districts))
         return evaluate_districts(self.env_cfg, self.params, fresh,
                                   policy_fn, n_steps=n_steps,
