@@ -109,8 +109,20 @@ class Neighborhood:
             json.dump(schema, f, indent=2)
         return path
 
-    def build(self, *args, **kwargs):  # pragma: no cover
-        raise NotImplementedError(
-            "The full build pipeline requires EnergyPlus + doe_xstock "
-            "(reference neighborhood.py:149); use cluster_buildings, "
-            "train_dynamics_model and set_schema with pre-simulated data.")
+    def build(self, output_directory: str, simulator=None, **kwargs):
+        """End-to-end dataset generation (reference ``neighborhood.py:149``):
+        sample buildings -> ideal + stochastic partial-load simulations ->
+        LSTM dynamics training -> dataset + schema emission -> CityLearn
+        smoke test. ``simulator`` is the EnergyPlus-stage backend
+        (:class:`citylearn_tpu.end_use_load_profiles.build.BuildingSimulator`);
+        defaults to the bundled synthetic RC-thermal backend when
+        EnergyPlus is unavailable."""
+        from citylearn_tpu.end_use_load_profiles.build import (
+            RCSimulator,
+            build,
+        )
+
+        if simulator is None:
+            simulator = RCSimulator(
+                random_seed=int(kwargs.get("random_seed", 0)))
+        return build(simulator, output_directory, **kwargs)

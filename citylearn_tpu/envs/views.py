@@ -214,6 +214,18 @@ class _WindowedSeriesView:
         self._bi = bi
         self._names = tuple(names)
 
+    # fields the reference mutates in place on the energy_simulation object
+    # during the episode (LSTM temperature prediction building.py:3000-3037,
+    # partial-load demand 3080-3158, occupant setpoints 3248-3317): realized
+    # values up to the current step, the raw data beyond it
+    _CONTROLLED = {
+        "indoor_dry_bulb_temperature": "indoor_temperature",
+        "cooling_demand": "cooling_demand_actual",
+        "heating_demand": "heating_demand_actual",
+        "indoor_dry_bulb_temperature_cooling_set_point": "cooling_sp",
+        "indoor_dry_bulb_temperature_heating_set_point": "heating_sp",
+    }
+
     def __getattr__(self, name):
         if name.startswith("_"):
             raise AttributeError(name)
@@ -223,7 +235,16 @@ class _WindowedSeriesView:
                 f"{type(self).__name__} has no series {name!r}")
         ep = self._env.episode_tracker
         sl = slice(ep.episode_start_time_step, ep.episode_end_time_step + 1)
-        return b.series[name][sl]
+        data = b.series[name][sl]
+        hist_key = self._CONTROLLED.get(name)
+        if hist_key is not None and name in ENERGY_SIMULATION_FIELDS:
+            env = self._env
+            env._sync_unwritten_row()
+            realized = env._history[hist_key][: env.time_step + 1, self._bi]
+            data = np.array(data, copy=True)
+            n = min(len(realized), len(data))
+            data[:n] = realized[:n]
+        return data
 
     def __dir__(self):
         return sorted(set(super().__dir__()) | set(self._names))
