@@ -66,7 +66,7 @@ def collect_episode(cfg: StaticConfig, params: DistrictParams,
 
 
 def kpi_table(cfg: StaticConfig, params: DistrictParams,
-              collected: Dict[str, jnp.ndarray], data_offset: jnp.ndarray,
+              collected: Dict[str, jnp.ndarray], start_tau: jnp.ndarray,
               baseline_condition: str = "_without_storage"
               ) -> Dict[str, jnp.ndarray]:
     """Normalized KPI dict for ONE district from collected (S, B) series.
@@ -83,8 +83,10 @@ def kpi_table(cfg: StaticConfig, params: DistrictParams,
     base = net_c - collected["storage"]
     if and_pv:
         base = base - collected["solar"]
-    # final unwritten row of the baseline (net/storage rows are zero there)
-    tau_end = data_offset + S
+    # final unwritten row of the baseline (net/storage rows are zero
+    # there); ``start_tau`` is the sim-range index of the FIRST collected
+    # row (data_offset + the state's t when collection began)
+    tau_end = start_tau + S
     extra = (params.series.solar_generation[tau_end]      # positive kWh
              if and_pv else
              jnp.zeros(net_c.shape[1], net_c.dtype))[None, :]
@@ -140,19 +142,34 @@ def kpi_table(cfg: StaticConfig, params: DistrictParams,
     return out
 
 
+def evaluate_districts_fn(cfg: StaticConfig, policy_fn: Callable,
+                          n_steps: int = None,
+                          baseline_condition: str = "_without_storage"
+                          ) -> Callable:
+    """Build the (unjitted) batched evaluator ``f(params, states) ->
+    {kpi: array}`` so callers can jit it ONCE and reuse it — wrapping in
+    ``jax.jit`` per call would retrace the year-long scan every time."""
+    S = (cfg.time_steps - 1) if n_steps is None else n_steps
+
+    def run(params, states):
+        def one(state):
+            st, collected = collect_episode(cfg, params, state, policy_fn, S)
+            return kpi_table(cfg, params, collected,
+                             state.data_offset + state.t, baseline_condition)
+
+        return jax.vmap(one)(states)
+
+    return run
+
+
 def evaluate_districts(cfg: StaticConfig, params: DistrictParams,
                        states: EnvState, policy_fn: Callable,
                        n_steps: int = None,
                        baseline_condition: str = "_without_storage"
                        ) -> Dict[str, jnp.ndarray]:
-    """jitted KPI tables for a (D, ...) batch of districts in one device
-    computation. Returns ``building|<kpi>`` -> (D, B) and
-    ``district|<kpi>`` -> (D,) arrays."""
-    S = (cfg.time_steps - 1) if n_steps is None else n_steps
-
-    def one(state):
-        _, collected = collect_episode(cfg, params, state, policy_fn, S)
-        return kpi_table(cfg, params, collected, state.data_offset,
-                         baseline_condition)
-
-    return jax.jit(jax.vmap(one))(states)
+    """One-shot jitted KPI tables for a (D, ...) batch of districts.
+    Returns ``building|<kpi>`` -> (D, B) and ``district|<kpi>`` -> (D,)
+    arrays. For repeated evaluation, jit :func:`evaluate_districts_fn`
+    once instead."""
+    run = evaluate_districts_fn(cfg, policy_fn, n_steps, baseline_condition)
+    return jax.jit(run)(params, states)

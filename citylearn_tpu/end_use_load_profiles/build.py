@@ -210,7 +210,6 @@ class RCSimulator:
         t = np.arange(n)
         hour = t % 24 + 1
         day = t // 24
-        rs = np.random.RandomState(self.random_seed + 31)
         occ = ((hour < 9) | (hour > 17)).astype(float) * p["occupants"]
         return pd.DataFrame({
             "month": np.minimum(day // 30 + 1, 12).astype(np.int32),
@@ -379,14 +378,20 @@ def build(simulator: BuildingSimulator, output_directory: str,
                     ideal["cooling_demand"].to_numpy() * mult,
                     ideal["heating_demand"].to_numpy() * mult)
                 frames.append(simulator.simulate_partial(bldg_id, cool, heat))
-            feats = np.concatenate([_lstm_features(f, weather) for f in frames])
-            lo, hi = feats.min(axis=0), feats.max(axis=0)
+            per_frame = [_lstm_features(f, weather) for f in frames]
+            all_feats = np.concatenate(per_frame)
+            lo, hi = all_feats.min(axis=0), all_feats.max(axis=0)
             hi = np.where(hi > lo, hi, lo + 1.0)
-            norm = (feats - lo) / (hi - lo)
-            # target: next-step normalized indoor temperature; the temp
-            # channel index is last (LSTM_CHANNELS order)
-            target = np.roll(norm[:, -1], -1)
-            state = train_lstm(norm[:-1], target[:-1], lookback=lookback,
+            # per-segment normalized features + next-step-temperature
+            # targets (the temp channel is last in LSTM_CHANNELS); windows
+            # are built within each partial-load run so nothing spans the
+            # boundary between independent simulations
+            seg_feats, seg_targets = [], []
+            for f in per_frame:
+                norm = (f - lo) / (hi - lo)
+                seg_feats.append(norm[:-1])
+                seg_targets.append(norm[1:, -1])
+            state = train_lstm(seg_feats, seg_targets, lookback=lookback,
                                seed=random_seed, **lstm_cfg)
             import torch
 

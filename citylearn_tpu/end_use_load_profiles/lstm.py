@@ -72,12 +72,22 @@ def make_windows(features: np.ndarray, target: np.ndarray, lookback: int
     return X.astype(np.float32), y.astype(np.float32)
 
 
-def train_lstm(features: np.ndarray, target: np.ndarray, lookback: int = 12,
+def train_lstm(features, target, lookback: int = 12,
                hidden: int = 16, num_layers: int = 2, epochs: int = 50,
                batch_size: int = 256, lr: float = 1e-3, seed: int = 0
                ) -> Mapping[str, np.ndarray]:
-    """Train and return a torch-layout state dict (numpy arrays)."""
-    X, y = make_windows(features, target, lookback)
+    """Train and return a torch-layout state dict (numpy arrays).
+
+    ``features``/``target`` may be lists of per-segment arrays (e.g. the
+    independent partial-load simulation runs): windows are built within
+    each segment so no window or target spans a segment boundary."""
+    if isinstance(features, (list, tuple)):
+        pairs = [make_windows(f, t, lookback)
+                 for f, t in zip(features, target)]
+        X = np.concatenate([p[0] for p in pairs])
+        y = np.concatenate([p[1] for p in pairs])
+    else:
+        X, y = make_windows(features, target, lookback)
     params = _init_lstm(jax.random.PRNGKey(seed), X.shape[-1], hidden, num_layers)
     opt = optax.adam(lr)
     opt_state = opt.init(params)

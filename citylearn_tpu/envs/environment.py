@@ -72,8 +72,12 @@ class CityLearnEnv:
             **kwargs)
         self.cfg, self.params, self.layout = pack(self.spec)
         if reward_function is not None:
+            # the constructor override replaces the schema's reward entirely
+            # (reference citylearn.py:2145-2152), including a per-building
+            # reward dict -> the dict dispatch must be cleared too
             self.cfg = type(self.cfg)(**{**self.cfg.__dict__,
-                                         "reward_type": reward_function})
+                                         "reward_type": reward_function,
+                                         "reward_per_building": None})
         self._step_jit = jax.jit(functools.partial(district_step, self.cfg))
         self.episode_tracker = EpisodeTracker(
             self.spec.simulation_start_time_step, self.spec.simulation_end_time_step)

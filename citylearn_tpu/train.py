@@ -269,17 +269,11 @@ class BatchedSAC:
             out["washing_machine"] = jnp.einsum("dam,amw->dw", a_env, self.w_wm)
         return out
 
-    def _build_train_chunk(self):
+    def _make_update_agent(self):
+        """One SAC gradient step for one agent's stacked nets — shared by
+        BatchedSAC and BatchedMARLISA (shape-polymorphic over the
+        observation width)."""
         cfg = self.cfg
-        env_cfg = self.env_cfg
-        D = cfg.n_districts
-        A = env_cfg.n_buildings
-
-        from citylearn_tpu.core.step import district_step
-        vstep = jax.vmap(functools.partial(district_step, env_cfg),
-                         in_axes=(None, 0, 0))
-        sample_policy = jax.vmap(_policy_sample, in_axes=(0, 1, 0, 0, 0, 0),
-                                 out_axes=(1, 1, 1))
 
         def update_agent(nets_i, batch, key, scale, bias, mask):
             o, a, r, n, d = batch
@@ -319,7 +313,22 @@ class BatchedSAC:
                 q2_target=polyak(nets_i.q2_target, q2),
                 q1_opt=q1_opt, q2_opt=q2_opt, policy_opt=policy_opt)
 
-        vupdate = jax.vmap(update_agent, in_axes=(0, 1, 0, 0, 0, 0))
+        return update_agent
+
+    def _build_train_chunk(self):
+        cfg = self.cfg
+        env_cfg = self.env_cfg
+        D = cfg.n_districts
+        A = env_cfg.n_buildings
+
+        from citylearn_tpu.core.step import district_step
+        vstep = jax.vmap(functools.partial(district_step, env_cfg),
+                         in_axes=(None, 0, 0))
+        sample_policy = jax.vmap(_policy_sample, in_axes=(0, 1, 0, 0, 0, 0),
+                                 out_axes=(1, 1, 1))
+
+        vupdate = jax.vmap(self._make_update_agent(),
+                           in_axes=(0, 1, 0, 0, 0, 0))
 
         def one_step(ts: TrainState, _):
             key, k_act, k_expl, k_sample, k_upd, k_reset = \
@@ -398,37 +407,57 @@ class BatchedSAC:
         deterministic policy — one device computation, no host sync per
         step (reference ``citylearn.py:1136-1323`` semantics via
         :mod:`citylearn_tpu.core.evaluate`). Returns
-        ``district|<kpi>`` -> (D,) and ``building|<kpi>`` -> (D, B)."""
-        from citylearn_tpu.core.evaluate import evaluate_districts
+        ``district|<kpi>`` -> (D,) and ``building|<kpi>`` -> (D, B).
 
-        A = self.env_cfg.n_buildings
+        The jitted evaluator is cached per (n_steps, baseline) with the
+        policy parameters as traced inputs, so repeated evaluation during
+        training never retraces the episode scan."""
+        from citylearn_tpu.core.evaluate import collect_episode, kpi_table
 
-        def policy_fn(params, st):
-            tau = st.data_offset + st.t
-            row = jnp.take(params.obs_static, tau, axis=0)     # (B, K_union)
-            obs = jax.vmap(lambda e, col: encode_obs(e, col))(
-                self.enc_stack, row)                            # (A, K)
-            if self.extra_obs_dim:
-                # deterministic evaluation without information sharing:
-                # the extra (coordination) dims evaluate at zero
-                obs = jnp.pad(obs, ((0, 0), (0, self.extra_obs_dim)))
-            key = jax.random.fold_in(
-                getattr(self.state, "base", self.state).key, 0)
-            _, _, det = jax.vmap(_policy_sample, in_axes=(0, 0, 0, 0, 0, 0))(
-                self.nets_for_eval, obs, jax.random.split(key, A),
-                self.action_scale, self.action_bias, self.act_mask)
-            a_env = det[None, :, :]                             # (1, A, M)
-            acts = self._actions_dict(a_env)
-            return {k: v[0] for k, v in acts.items()}
+        cache_key = (n_steps, baseline_condition)
+        if not hasattr(self, "_eval_cache"):
+            self._eval_cache = {}
+        if cache_key not in self._eval_cache:
+            A = self.env_cfg.n_buildings
+            S = ((self.env_cfg.time_steps - 1) if n_steps is None
+                 else int(n_steps))
+
+            def run(params, states, policy_params, rng):
+                def policy_fn(p, st):
+                    tau = st.data_offset + st.t
+                    row = jnp.take(p.obs_static, tau, axis=0)  # (B, K_union)
+                    obs = jax.vmap(lambda e, col: encode_obs(e, col))(
+                        self.enc_stack, row)                    # (A, K)
+                    if self.extra_obs_dim:
+                        # deterministic evaluation without information
+                        # sharing: coordination dims evaluate at zero
+                        obs = jnp.pad(obs,
+                                      ((0, 0), (0, self.extra_obs_dim)))
+                    _, _, det = jax.vmap(
+                        _policy_sample, in_axes=(0, 0, 0, 0, 0, 0))(
+                        policy_params, obs, jax.random.split(rng, A),
+                        self.action_scale, self.action_bias, self.act_mask)
+                    acts = self._actions_dict(det[None, :, :])
+                    return {k: v[0] for k, v in acts.items()}
+
+                def one(state):
+                    _, collected = collect_episode(self.env_cfg, params,
+                                                   state, policy_fn, S)
+                    return kpi_table(self.env_cfg, params, collected,
+                                     state.data_offset + state.t,
+                                     baseline_condition)
+
+                return jax.vmap(one)(states)
+
+            self._eval_cache[cache_key] = jax.jit(run)
 
         base_state = getattr(self.state, "base", self.state)
-        self.nets_for_eval = base_state.nets.policy
         fresh = self._broadcast_initial(
             self._draw_offsets(jax.random.fold_in(base_state.key, 1),
                                self.cfg.n_districts))
-        return evaluate_districts(self.env_cfg, self.params, fresh,
-                                  policy_fn, n_steps=n_steps,
-                                  baseline_condition=baseline_condition)
+        return self._eval_cache[cache_key](
+            self.params, fresh, base_state.nets.policy,
+            jax.random.fold_in(base_state.key, 0))
 
     # ------------------------------------------------------------------
     def train(self, n_steps: int, chunk: int = 200):

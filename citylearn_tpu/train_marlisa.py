@@ -75,15 +75,22 @@ class BatchedMARLISA(BatchedSAC):
         spec = self.spec
         sl = slice(spec.simulation_start_time_step,
                    spec.simulation_end_time_step + 1)
+        # the reference works from *annual* demand estimates (metadata
+        # sums divided by the number of simulated years); annualize the
+        # simulation-range sums so multi-year datasets (2021 = 4 years)
+        # keep the same coordination-variable scale
+        n_steps = sl.stop - sl.start
+        years = max(n_steps * spec.seconds_per_time_step / 3600.0 / 8760.0,
+                    1e-9)
         esc = []
         for b in spec.buildings:
             s = b.series
             solar = float(np.sum(b.pv_nominal_power
-                                 * s["solar_generation"][sl] / 1000.0))
-            coef = (float(np.sum(s["dhw_demand"][sl])) / 0.9
-                    + float(np.sum(s["cooling_demand"][sl])) / 3.5
-                    + float(np.sum(s["heating_demand"][sl])) / 3.5
-                    + float(np.sum(s["non_shiftable_load"][sl]))
+                                 * s["solar_generation"][sl] / 1000.0)) / years
+            coef = (float(np.sum(s["dhw_demand"][sl])) / years / 0.9
+                    + float(np.sum(s["cooling_demand"][sl])) / years / 3.5
+                    + float(np.sum(s["heating_demand"][sl])) / years / 3.5
+                    + float(np.sum(s["non_shiftable_load"][sl])) / years
                     - solar / 6.0)
             coef = max(0.3 * (coef + solar / 6.0), coef) / 8760.0
             esc.append(coef)
@@ -184,8 +191,6 @@ class BatchedMARLISA(BatchedSAC):
     def _build_train_chunk(self):
         import functools
 
-        import optax
-
         from citylearn_tpu.core.step import district_step
 
         cfg = self.cfg
@@ -194,47 +199,8 @@ class BatchedMARLISA(BatchedSAC):
         vstep = jax.vmap(functools.partial(district_step, env_cfg),
                          in_axes=(None, 0, 0))
 
-        # SAC update identical to BatchedSAC's, rebuilt here over the
-        # cv-augmented observation width
-        from citylearn_tpu.agents.sac import _q_apply
-
-        def update_agent(nets_i, batch, key, scale, bias, mask):
-            o, a, r, n, d = batch
-            k1, k2 = jax.random.split(key)
-            na, nlp, _ = _policy_sample(nets_i.policy, n, k1, scale, bias, mask)
-            tq = jnp.minimum(_q_apply(nets_i.q1_target, n, na),
-                             _q_apply(nets_i.q2_target, n, na)) - cfg.alpha * nlp
-            q_target = jax.lax.stop_gradient(
-                r[:, None] + (1 - d[:, None]) * cfg.discount * tq)
-
-            def q_loss(qp):
-                return optax.huber_loss(_q_apply(qp, o, a), q_target).mean()
-
-            g1 = jax.grad(q_loss)(nets_i.q1)
-            g2 = jax.grad(q_loss)(nets_i.q2)
-            u1, q1_opt = self.optimizer.update(g1, nets_i.q1_opt, nets_i.q1)
-            q1 = optax.apply_updates(nets_i.q1, u1)
-            u2, q2_opt = self.optimizer.update(g2, nets_i.q2_opt, nets_i.q2)
-            q2 = optax.apply_updates(nets_i.q2, u2)
-
-            def pi_loss(pp):
-                pa, lp, _ = _policy_sample(pp, o, k2, scale, bias, mask)
-                q = jnp.minimum(_q_apply(q1, o, pa), _q_apply(q2, o, pa))
-                return (cfg.alpha * lp - q).mean()
-
-            gp = jax.grad(pi_loss)(nets_i.policy)
-            up, policy_opt = self.optimizer.update(gp, nets_i.policy_opt,
-                                                   nets_i.policy)
-            policy = optax.apply_updates(nets_i.policy, up)
-            polyak = lambda t_, s: jax.tree_util.tree_map(
-                lambda x, y: x * (1 - cfg.tau) + y * cfg.tau, t_, s)
-            return nets_i._replace(
-                q1=q1, q2=q2, policy=policy,
-                q1_target=polyak(nets_i.q1_target, q1),
-                q2_target=polyak(nets_i.q2_target, q2),
-                q1_opt=q1_opt, q2_opt=q2_opt, policy_opt=policy_opt)
-
-        vupdate = jax.vmap(update_agent, in_axes=(0, 1, 0, 0, 0, 0))
+        vupdate = jax.vmap(self._make_update_agent(),
+                           in_axes=(0, 1, 0, 0, 0, 0))
 
         def one_step(ms: MarlisaTrainState, _):
             ts = ms.base
