@@ -166,6 +166,125 @@ def record_wrappers(seed=0):
     print("wrapper goldens: discrete, tabularq, rllib_ma")
 
 
+def build_occupant_dataset(n_buildings=2, seed=7):
+    """Synthesize the occupant decision-tree pickles the bundled quebec
+    dataset ships without (reference occupant.py:49-56 crashes on the
+    missing files) and write a trimmed dataset copy under tests/golden/.
+
+    The logistic interaction parameters are rewritten with steep
+    temperature-centered curves so increase/decrease/no-op/overlap paths
+    all fire within a 168-step trace (indoor temperature sits at
+    ~18.9-20.4 degC in the source data).
+    """
+    import os
+    import pickle
+    import shutil
+
+    from sklearn.tree import DecisionTreeClassifier
+
+    src = f"{DATASETS}/quebec_neighborhood_with_demand_response_set_points"
+    out_dir = f"{OUT}/quebec_occ"
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{src}/schema.json") as f:
+        schema = json.load(f)
+    keep = list(schema["buildings"])[:n_buildings]
+    schema["buildings"] = {n: schema["buildings"][n] for n in keep}
+    schema["root_directory"] = None   # resolved from the schema file path
+
+    needed = set()
+    for b in schema["buildings"].values():
+        for key in ("energy_simulation", "weather", "carbon_intensity", "pricing"):
+            if b.get(key):
+                needed.add(b[key])
+        needed.add(b["dynamics"]["attributes"]["filename"])
+    for fname in needed:
+        shutil.copy(f"{src}/{fname}", f"{out_dir}/{fname}")
+    if schema.get("buildings") and "pricing" not in list(schema["buildings"].values())[0]:
+        shutil.copy(f"{src}/pricing.csv", f"{out_dir}/pricing.csv")
+
+    rng = np.random.RandomState(seed)
+    for b in schema["buildings"].values():
+        # the reference never puts LSTMDynamics in eval mode, so the
+        # quebec dropout=0.3 applies TRAINING-mode dropout at inference
+        # (dynamics.py:99-105) making its predictions nondeterministic
+        # (torch global RNG). The rebuild uses standard inference
+        # semantics (dropout off); zero it here so the reference trace is
+        # deterministic and comparable.
+        b["dynamics"]["attributes"]["dropout"] = 0.0
+        pname = b["occupant"]["parameters_filename"]
+        pdf = pd.read_csv(f"{src}/{pname}")
+        # p(increase)=0.5 at 19.4 degC falling with T; p(decrease)=0.5 at
+        # 19.9 degC rising with T -> events in both directions plus the
+        # both-fire no-op (occupant.py:79-90) within the trace window
+        pdf["a_increase"] = 3.0 * 19.4
+        pdf["b_increase"] = -3.0
+        pdf["a_decrease"] = -3.0 * 19.9
+        pdf["b_decrease"] = 3.0
+        pdf.to_csv(f"{out_dir}/{pname}", index=False)
+        for direction in ("increase", "decrease"):
+            fname = b["occupant"]["attributes"][f"setpoint_{direction}_model_filename"]
+            X = np.column_stack([
+                rng.uniform(16.0, 24.0, 256),   # current setpoint
+                rng.uniform(16.0, 24.0, 256),   # previous setpoint
+                rng.uniform(-4.0, 4.0, 256),    # prev temp - prev setpoint
+            ])
+            y = rng.randint(0, 2, 256)          # classes = delta_output_map keys
+            clf = DecisionTreeClassifier(
+                max_depth=3, random_state=int(rng.randint(1 << 30))).fit(X, y)
+            with open(f"{out_dir}/{fname}", "wb") as fh:
+                pickle.dump(clf, fh)
+    with open(f"{out_dir}/schema.json", "w") as fh:
+        json.dump(schema, fh, indent=1)
+    return f"{out_dir}/schema.json"
+
+
+def record_occupant():
+    """Occupant-interaction golden traces (reference building.py:3160-3353,
+    occupant.py:62-99) on the synthesized-tree quebec copy. Also records
+    the per-building setpoint/delta series and asserts the trace actually
+    contains occupant events so the parity case cannot silently assert
+    nothing."""
+    schema_path = build_occupant_dataset()
+    for case, policy_name in (("occ_zero_168", "zero"),
+                              ("occ_scripted_168", "scripted")):
+        env = CityLearnEnv(schema_path, central_agent=False,
+                           episode_time_steps=168, random_seed=0)
+        policy = {"zero": zero_policy,
+                  "scripted": make_scripted_policy(123)}[policy_name]
+        np.random.seed(0)
+        observations, rewards = rollout(env, policy)
+        kpis = env.evaluate()
+        extra = {}
+        n_events = 0
+        for b in env.buildings:
+            es = b.energy_simulation
+            deltas = np.asarray(
+                b.occupant.parameters
+                .occupant_interaction_indoor_dry_bulb_temperature_set_point_delta,
+                np.float64)
+            n_events += int((np.abs(deltas) > 0).sum())
+            extra[f"b_{b.name}_hsp"] = np.asarray(
+                es.indoor_dry_bulb_temperature_heating_set_point, np.float64)
+            extra[f"b_{b.name}_temp"] = np.asarray(
+                es.indoor_dry_bulb_temperature, np.float64)
+            extra[f"b_{b.name}_delta"] = deltas
+        assert n_events > 0, "occupant trace recorded no setpoint events"
+        obs_arr = np.asarray([np.concatenate([np.asarray(a, np.float64) for a in o])
+                              for o in observations])
+        np.savez_compressed(
+            f"{OUT}/{case}.npz",
+            observations=obs_arr,
+            rewards=np.asarray(rewards, np.float64),
+            kpi_names=np.asarray([f"{r.level}|{r.name}|{r.cost_function}"
+                                  for r in kpis.itertuples()]),
+            kpi_values=np.asarray([np.nan if r.value is None else float(r.value)
+                                   for r in kpis.itertuples()]),
+            obs_names=np.asarray(["|".join(ns) for ns in env.observation_names]),
+            elapsed=np.asarray([0.0]), steps=np.asarray([len(rewards)]),
+            **extra)
+        print(f"{case}: {len(rewards)} steps, {n_events} occupant events")
+
+
 def noisy_schema_dict(schema_path, noise_std):
     """Schema dict with per-building Gaussian observation noise enabled."""
     import os
@@ -262,10 +381,15 @@ def main():
     parser.add_argument("--noisy-only", action="store_true")
     parser.add_argument("--year-only", action="store_true")
     parser.add_argument("--wrappers-only", action="store_true")
+    parser.add_argument("--occupant-only", action="store_true")
     args = parser.parse_args()
 
     if args.wrappers_only:
         record_wrappers()
+        return
+
+    if args.occupant_only:
+        record_occupant()
         return
 
     if args.year_only:
