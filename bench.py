@@ -1,20 +1,27 @@
 """Throughput benchmark: vectorized district env steps per second per chip.
 
-Runs D vectorized district instances of citylearn_challenge_2022_phase_1
+Headline: D vectorized district instances of citylearn_challenge_2022_phase_1
 (5 buildings, battery + PV) for a full year episode with an in-graph
 hour-indexed RBC policy (BasicRBC battery map, reference
 agents/rbc.py:160-218). One env-step = one district stepping once.
 
-Two paths:
+Two paths for the headline config:
 - the whole-episode Pallas TPU kernel (ops/pallas_battery.py) when the
   config is eligible — episode streaming HBM->VMEM, state in VMEM,
   one kernel launch per episode (~25x the scan path on v5e);
 - the general jitted vmap(scan) path otherwise (or BENCH_FAST=0).
 
+Matrix (VERDICT r2 #3 — the full perf envelope, not just the friendliest
+config; disable with BENCH_MATRIX=0): the XLA scan path on
+- citylearn_challenge_2021 (9 buildings, heat pumps + 3 thermal storages),
+- citylearn_challenge_2023_phase_1 (LSTM dynamics buildings),
+- citylearn_challenge_2022_phase_all_plus_evs (chargers + washing machine),
+plus a BatchedSAC train-step throughput row (env collect + replay + update).
+
 Baseline denominator: the reference CityLearn's measured single-env CPU
 throughput (tests/golden/reference_perf.json via tools/make_golden.py).
 
-Prints ONE JSON line.
+Prints ONE JSON line; the matrix rows ride in the same object.
 """
 
 import json
@@ -22,6 +29,79 @@ import os
 import time
 
 import numpy as np
+
+
+def _timeit(run, reps):
+    run()                                   # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _bench_scan_config(schema, D, episode_time_steps, reps, policy_keys,
+                       table):
+    """district-steps/s of the general vmap(scan) path on one dataset."""
+    import jax
+    import jax.numpy as jnp
+
+    from citylearn_tpu.compiler.schema import compile_schema
+    from citylearn_tpu.core.params import pack
+    from citylearn_tpu.core.rollout import (
+        ACTION_KEYS,
+        batched_initial_states,
+        rollout_policy,
+    )
+
+    spec = compile_schema(schema, random_seed=0, central_agent=False,
+                          episode_time_steps=episode_time_steps)
+    cfg, params, _ = pack(spec)
+    S = cfg.time_steps - 1
+    tbl = jnp.asarray(table)
+
+    def policy(params, state):
+        tau = state.data_offset + state.t
+        hour = jnp.take(params.series.hour, tau, axis=0)
+        act = jnp.take(tbl, hour - 1)
+        zero = jnp.zeros_like(act)
+        out = {k: (act if k in policy_keys else zero) for k in ACTION_KEYS}
+        if cfg.has_evs:
+            out["electric_vehicle_storage"] = jnp.full(
+                (cfg.n_chargers,), 0.3, jnp.float32)
+        if cfg.has_washing_machines:
+            out["washing_machine"] = jnp.ones(
+                (cfg.n_washing_machines,), jnp.float32)
+        return out
+
+    states = batched_initial_states(cfg, params, D)
+
+    def episode(params, state):
+        return rollout_policy(cfg, params, state, S, policy)
+
+    fn = jax.jit(jax.vmap(episode, in_axes=(None, 0)))
+    run = lambda: np.asarray(fn(params, states)[1]["reward_sum"])
+    elapsed = _timeit(run, reps)
+    return D * S / elapsed, dict(D=D, S=S, B=cfg.n_buildings)
+
+
+def _bench_train_step(schema, D, reps):
+    """BatchedSAC train-step throughput: one fused collect+update step for
+    D districts (replay writes + twin-Q/policy updates included)."""
+    from citylearn_tpu.train import BatchedSAC, TrainConfig
+
+    cfg = TrainConfig(n_districts=D, warmup_steps=8, batch_size=256,
+                      replay_capacity=D * 64, hidden=(256, 256))
+    tr = BatchedSAC(schema, cfg, random_seed=0, episode_time_steps=720)
+    tr.train(16, chunk=16)                   # warm past exploration, compile
+    CH = 64
+
+    def run():
+        tr.train(CH, chunk=CH)
+
+    elapsed = _timeit(run, reps)
+    return D * CH / elapsed, dict(D=D, chunk=CH)
 
 
 def main():
@@ -41,7 +121,8 @@ def main():
         rollout_policy,
     )
 
-    schema = "/root/reference/data/datasets/citylearn_challenge_2022_phase_1/schema.json"
+    DATASETS = "/root/reference/data/datasets"
+    schema = f"{DATASETS}/citylearn_challenge_2022_phase_1/schema.json"
     spec = compile_schema(schema, random_seed=0)
     cfg, params, _ = pack(spec)
 
@@ -62,11 +143,12 @@ def main():
     if use_fast and os.environ.get("BENCH_FAST_CHILD") != "1":
         # the remote Mosaic compile service has variable latency; run the
         # kernel path in a bounded subprocess and fall back to the XLA
-        # scan path if it does not report in time
+        # scan path if it does not report in time. The child prints the
+        # full JSON line (including the matrix).
         import subprocess
         import sys
 
-        budget = int(os.environ.get("BENCH_FAST_TIMEOUT", "420"))
+        budget = int(os.environ.get("BENCH_FAST_TIMEOUT", "900"))
         env = dict(os.environ, BENCH_FAST_CHILD="1")
         try:
             proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -89,15 +171,14 @@ def main():
                 run_once()
 
     if use_fast:
-        out = rollout_fast.run_battery_episode(cfg, params, D, table)
-        jax.block_until_ready(out[0])               # compile + warm run
-        maybe_profile(lambda: np.asarray(
-            rollout_fast.run_battery_episode(cfg, params, D, table)[0]))
+        run = lambda: np.asarray(
+            rollout_fast.run_battery_episode(cfg, params, D, table)[0])
+        run()
+        maybe_profile(run)
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = rollout_fast.run_battery_episode(cfg, params, D, table)
-            np.asarray(out[0])
+            run()
             times.append(time.perf_counter() - t0)
     else:
         policy = hour_rbc_policy(jnp.asarray(table))
@@ -107,27 +188,65 @@ def main():
             return rollout_policy(cfg, params, state, S, policy)
 
         episode_fn = jax.jit(jax.vmap(episode, in_axes=(None, 0)))
-        out_state, result = episode_fn(params, states)
-        jax.block_until_ready(result["reward_sum"])     # compile + warm run
-        maybe_profile(lambda: np.asarray(
-            episode_fn(params, states)[1]["reward_sum"]))
+        run = lambda: np.asarray(episode_fn(params, states)[1]["reward_sum"])
+        run()
+        maybe_profile(run)
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            out_state, result = episode_fn(params, states)
-            np.asarray(result["reward_sum"])        # force full materialization
+            run()
             times.append(time.perf_counter() - t0)
     elapsed = min(times)
 
     steps_per_sec = D * S / elapsed
 
+    # ---- perf-envelope matrix (XLA scan path on the other families) ----
+    matrix = {}
+    if os.environ.get("BENCH_MATRIX", "1") != "0":
+        mreps = int(os.environ.get("BENCH_MATRIX_REPS", "2"))
+        rows = [
+            ("c2021_thermal",
+             f"{DATASETS}/citylearn_challenge_2021/schema.json",
+             int(os.environ.get("BENCH_D_2021", "2048")), 8760,
+             ("electrical_storage", "cooling_storage", "dhw_storage")),
+            ("c2023p1_lstm",
+             f"{DATASETS}/citylearn_challenge_2023_phase_1/schema.json",
+             int(os.environ.get("BENCH_D_2023", "2048")), None,
+             ("electrical_storage", "dhw_storage", "cooling_device")),
+            ("evs_chargers_wm",
+             f"{DATASETS}/citylearn_challenge_2022_phase_all_plus_evs/schema.json",
+             int(os.environ.get("BENCH_D_EVS", "2048")), None,
+             ("electrical_storage",)),
+        ]
+        for name, sch, d, ets, keys in rows:
+            try:
+                sps, meta = _bench_scan_config(sch, d, ets, mreps, keys, table)
+                matrix[name] = {"district_steps_per_sec": round(sps, 1), **meta}
+            except Exception as e:  # pragma: no cover - diagnostics only
+                matrix[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            sps, meta = _bench_train_step(
+                schema, int(os.environ.get("BENCH_D_TRAIN", "1024")), mreps)
+            matrix["sac_train_step"] = {
+                "district_steps_per_sec": round(sps, 1), **meta}
+        except Exception as e:  # pragma: no cover
+            matrix["sac_train_step"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     baseline = None
+    ref = {}
     perf_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "tests/golden/reference_perf.json")
     if os.path.exists(perf_path):
         with open(perf_path) as f:
             ref = json.load(f)
         baseline = ref.get("p1_scripted_year") or ref.get("p1_scripted_168")
+    for name, key in [("c2021_thermal", "c2021_scripted_year"),
+                      ("c2023p1_lstm", "c2023_scripted_year"),
+                      ("evs_chargers_wm", "evs_scripted_year")]:
+        den = ref.get(key)
+        row = matrix.get(name)
+        if den and row and "district_steps_per_sec" in row:
+            row["vs_reference"] = round(row["district_steps_per_sec"] / den, 1)
 
     vs_baseline = steps_per_sec / baseline if baseline else None
     print(json.dumps({
@@ -135,6 +254,7 @@ def main():
         "value": round(steps_per_sec, 1),
         "unit": f"district-steps/s @ {D} vectorized districts x {B} buildings",
         "vs_baseline": round(vs_baseline, 1) if vs_baseline else None,
+        "matrix": matrix,
     }))
 
 

@@ -36,12 +36,17 @@ ALIASES = {
     "citylearn.citylearn": "citylearn_tpu.envs.environment",
 }
 
-DEFAULT_TIME_SERIES_VARIABLES = [
-    "solar_generation", "net_electricity_consumption",
-    "net_electricity_consumption_without_storage",
-    "indoor_dry_bulb_temperature", "cooling_demand", "heating_demand",
-    "dhw_demand", "electrical_storage_soc",
-]
+def get_settings() -> dict:
+    """Bundled package settings (reference ``data.py:24`` reading
+    ``citylearn/misc/settings.yaml``)."""
+    import yaml
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "misc", "settings.yaml")
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+DEFAULT_TIME_SERIES_VARIABLES = get_settings()["default_time_series_variables"]
 
 
 def resolve_class(dotted: str):
@@ -170,31 +175,27 @@ class Simulator:
         }
 
     def _time_series(self):
+        """Dotted-path variable resolution over the live building views
+        (reference ``__main__.py:212-237``): each entry of
+        ``time_series_variables`` walks ``getattr`` segments on the
+        building (``cooling_storage.soc`` etc.); missing segments keep the
+        last resolved value, like the reference's silent ``pass``."""
         env = self._unwrapped()
-        h = env._history
         n = env.time_step + 1
-        mapping = {
-            "net_electricity_consumption": h["net"],
-            "net_electricity_consumption_without_storage":
-                h["net"] - (h["cooling_storage_cons"] + h["heating_storage_cons"]
-                            + h["dhw_storage_cons"] + h["battery_cons"]
-                            + h["chargers_cons"]),
-            "solar_generation": -h["solar"],
-            "indoor_dry_bulb_temperature": h["indoor_temperature"],
-            "cooling_demand": h["cooling_demand_actual"],
-            "heating_demand": h["heating_demand_actual"],
-            "electrical_storage_soc": h["battery_soc"],
-        }
         out = {}
-        for bi, b in enumerate(env.spec.buildings):
+        for b in env.buildings:
             series = {}
-            sl = slice(env.episode_tracker.episode_start_time_step,
-                       env.episode_tracker.episode_start_time_step + n)
-            for v in self.time_series_variables:
-                if v in mapping:
-                    series[v] = mapping[v][:n, bi].tolist()
-                elif v in b.series:
-                    series[v] = b.series[v][sl].tolist()
+            for variable in self.time_series_variables:
+                key = b
+                value = None
+                for seg in variable.split("."):
+                    if hasattr(key, seg):
+                        value = getattr(key, seg)
+                        key = value
+                if value is None:
+                    continue
+                arr = np.asarray(value, np.float64)[:n]
+                series[variable.replace(".", "_")] = arr.tolist()
             out[b.name] = series
         return out
 

@@ -211,15 +211,46 @@ def autosize_pv(demand_kwh: float, epw_filepath: str, random_seed: int,
     use_sample_target = bool(use_sample_target) if use_sample_target is not None else False
 
     sizing = get_pv_sizing_data() if sizing_data is None else sizing_data
-    config = sizing.sample(1, random_state=random_seed).iloc[0].to_dict()
 
-    pv_nominal_power = float(config["nameplate_capacity_module_1"]) / 1000.0
-    epw = read_epw(epw_filepath)
-    ac = pvwatts_ac(epw, pv_nominal_power,
-                    float(config["inverter_loading_ratio"]),
-                    float(config["tilt_1"]), float(config["azimuth_1"]),
-                    float(config.get("bifacial_module_1") or 0.0) * 0.65)
-    inverter_ac_power_per_kw = (ac / pv_nominal_power).astype(np.float32)
+    # Real path: NREL PySAM's Pvwattsv8 'PVWattsNone' model when the
+    # package is importable — the reference's exact flow incl. the
+    # 3-try re-sample loop on simulation failure
+    # (energy_model.py:538-566). The pure-numpy PVWatts-equivalent chain
+    # below is the documented offline fallback.
+    try:
+        import PySAM.Pvwattsv8 as Pvwattsv8  # noqa: N813
+    except ImportError:
+        Pvwattsv8 = None
+
+    if Pvwattsv8 is not None:
+        tries = 3
+        for i in range(tries):
+            config = sizing.sample(1, random_state=random_seed + i).iloc[0].to_dict()
+            model = Pvwattsv8.default("PVWattsNone")
+            pv_nominal_power = float(config["nameplate_capacity_module_1"]) / 1000.0
+            model.SystemDesign.system_capacity = pv_nominal_power
+            model.SystemDesign.dc_ac_ratio = config["inverter_loading_ratio"]
+            model.SystemDesign.tilt = config["tilt_1"]
+            model.SystemDesign.azimuth = config["azimuth_1"]
+            model.SystemDesign.bifaciality = config["bifacial_module_1"] * 0.65
+            model.SolarResource.solar_resource_file = epw_filepath
+            try:
+                model.execute()
+                break
+            except Exception:
+                if i == tries - 1:
+                    raise
+        inverter_ac_power_per_kw = (np.array(model.Outputs.ac, dtype="float32")
+                                    / pv_nominal_power)
+    else:
+        config = sizing.sample(1, random_state=random_seed).iloc[0].to_dict()
+        pv_nominal_power = float(config["nameplate_capacity_module_1"]) / 1000.0
+        epw = read_epw(epw_filepath)
+        ac = pvwatts_ac(epw, pv_nominal_power,
+                        float(config["inverter_loading_ratio"]),
+                        float(config["tilt_1"]), float(config["azimuth_1"]),
+                        float(config.get("bifacial_module_1") or 0.0) * 0.65)
+        inverter_ac_power_per_kw = (ac / pv_nominal_power).astype(np.float32)
 
     if use_sample_target:
         target_nominal_power = float(config["PV_system_size_DC"])

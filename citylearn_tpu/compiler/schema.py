@@ -346,6 +346,9 @@ def _resolve_battery(block: Optional[dict], seed: Optional[int],
     # sample draws from a fresh RandomState(seed) so order does not matter
     # for reproducibility, but defaults do.
     spec.depth_of_discharge = seeding.resolve(attrs.get("depth_of_discharge"), 1.0, seed)
+    # provenance: tuple-sampled values are strong np.float64 in the
+    # reference; schema literals stay weak Python floats (parity mode)
+    spec.dod_weak = not isinstance(attrs.get("depth_of_discharge"), (list, tuple))
     spec.capacity = float(attrs.get("capacity") or 0.0)
     spec.nominal_power = float(attrs.get("nominal_power") or 0.0)
     spec.efficiency = seeding.resolve(attrs.get("efficiency"), (0.90, 0.98), seed)
@@ -421,6 +424,9 @@ def _autosize_battery(spec: BatterySpec, block: dict, series: Dict[str, np.ndarr
     unit_count = max(1, int(np.floor(target / row["capacity"])))
     spec.capacity = float(row["capacity"]) * unit_count
     spec.nominal_power = float(row["nominal_power"])  # parallel=False quirk
+    # autosized values come off a DataFrame row as strong np.float64
+    spec.capacity_weak = False
+    spec.dod_weak = False
     spec.depth_of_discharge = seeding.resolve(row["depth_of_discharge"], 1.0, seed)
     spec.efficiency = seeding.resolve(row["efficiency"], (0.90, 0.98), seed)
     spec.loss_coefficient = seeding.resolve(
@@ -637,6 +643,9 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
             safety = seeding.resolve(kwargs.get("safety_factor"), (1.0, 2.0), seed)
             demand = series[demand_key][sim_sl] * time_step_ratio
             tank.capacity = float(np.nanmax(demand) * safety)
+            # np.nanmax over the float32 demand series stays np.float32 in
+            # the reference, so soc*cap AND action*cap both round to f32
+            tank.capacity_npf32 = True
 
         _autosize_hvac(cool_block, cooling_device, "cooling_device", False)
         _autosize_hvac(heat_block, heating_device, "heating_device", True)

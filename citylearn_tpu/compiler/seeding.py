@@ -107,4 +107,7 @@ def pad_curve(curve: Sequence[Sequence[float]], length: int) -> Tuple[np.ndarray
     if n < length:
         pad = np.repeat(arr[-1:, :], length - n, axis=0)
         arr = np.concatenate([arr, pad], axis=0)
-    return arr[:, 0].astype(np.float32), arr[:, 1].astype(np.float32)
+    # keep float64: the reference holds curves as Python-float lists; the
+    # packer downcasts to float32 for the fast path (core/params.py pack
+    # ``param_dtype``), while parity mode needs the exact schema values
+    return arr[:, 0], arr[:, 1]

@@ -42,6 +42,12 @@ class BatterySpec:
     power_efficiency_curve_y: np.ndarray = None
     capacity_power_curve_x: np.ndarray = None
     capacity_power_curve_y: np.ndarray = None
+    # NumPy-2 scalar provenance (parity mode): a schema-literal parameter is
+    # a *weak* Python float in the reference, so ``np.float32(soc) * capacity``
+    # rounds to float32; an autosized/sampled parameter is a *strong*
+    # np.float64 and keeps the chain in float64 (NEP 50; see core/battery.py)
+    capacity_weak: bool = True
+    dod_weak: bool = True
 
 
 @dataclasses.dataclass
@@ -63,6 +69,14 @@ class StorageTankSpec:
     initial_soc: float = 0.0
     max_input_power: float = float("inf")   # inf == None in the reference
     max_output_power: float = float("inf")
+    # parity-mode scalar provenance (see BatterySpec.capacity_weak):
+    # ``capacity_weak`` — np.float32(soc) * capacity rounds to float32
+    # (capacity is a weak Python float OR an np.float32 autosize product);
+    # ``capacity_npf32`` — capacity is itself np.float32 (tank autosize:
+    # np.nanmax over the float32 demand series, energy_model.py:793), so
+    # ``action * capacity`` (building.py:1663) rounds to float32 too
+    capacity_weak: bool = True
+    capacity_npf32: bool = False
 
 
 @dataclasses.dataclass

@@ -8,13 +8,18 @@ a ``lax.scan`` rollout stacks the per-step quantities, and the
 ``core.kpi.*_jnp`` reductions produce control/baseline-normalized values
 without any host sync.
 
-Covered KPIs (the non-thermal core set — ``cost_function.py:10-199``):
+Covered KPIs — the full building table (``cost_function.py:10-388``):
 district ramping_average, daily/monthly one-minus-load-factor, daily and
 all-time peak; per-building electricity_consumption_total,
-zero_net_energy, carbon_emissions_total, cost_total. Baseline =
-``without_storage[_and_pv]`` counterfactuals (``building.py:308-476``).
-Thermal/resilience KPIs remain host-side (they need occupant/setpoint
-series; see ``envs/environment.py:evaluate``).
+zero_net_energy, carbon_emissions_total, cost_total, the discomfort
+9-tuple, one-minus-thermal-resilience and power-outage/annual normalized
+unserved energy. Baselines = ``without_storage[_and_partial_load][_and_pv]``
+counterfactuals (``building.py:308-476,2863-2933``). One deliberate
+simplification vs the host path: the final *unwritten* row's setpoints
+come from the data series (the host patches in a live occupant override
+when one is active, ``envs/environment.py:_sync_unwritten_row``); no
+bundled occupant dataset is evaluated batched, so the row is identical
+in practice.
 """
 
 from __future__ import annotations
@@ -59,6 +64,21 @@ def collect_episode(cfg: StaticConfig, params: DistrictParams,
             solar=out.solar_generation,             # negative kWh
             pricing=jnp.take(params.series.electricity_pricing, tau, axis=0),
             carbon=jnp.take(params.series.carbon_intensity, tau, axis=0),
+            # thermal/resilience inputs (cost_function.py:224-388)
+            indoor_t=out.indoor_temperature,
+            cooling_sp=out.cooling_set_point,
+            heating_sp=out.heating_set_point,
+            cooling_demand_actual=out.cooling_demand_actual,
+            heating_demand_actual=out.heating_demand_actual,
+            # served = met demand + storage discharge per end use + met
+            # non-shiftable load (envs/environment.py evaluate())
+            served=(out.cooling_demand_met
+                    + jnp.clip(-out.cooling_storage_balance, 0.0, None)
+                    + out.heating_demand_met
+                    + jnp.clip(-out.heating_storage_balance, 0.0, None)
+                    + out.dhw_demand_met
+                    + jnp.clip(-out.dhw_storage_balance, 0.0, None)
+                    + out.non_shiftable_load_met),
         )
         return st, ys
 
@@ -78,21 +98,50 @@ def kpi_table(cfg: StaticConfig, params: DistrictParams,
     1888-1918``; ``envs/environment.py``)."""
     S = collected["net"].shape[0]
     and_pv = baseline_condition.endswith("_and_pv")
+    partial_load = "_and_partial_load" in baseline_condition
+    ser = params.series
+    # episode window incl. the final unwritten row: sim-range rows
+    # [start_tau, start_tau + S]; ``start_tau`` is the sim-range index of
+    # the FIRST collected row (data_offset + the state's t at collection
+    # start)
+    win = lambda arr: jax.lax.dynamic_slice_in_dim(arr, start_tau, S + 1, axis=0)
 
     net_c = collected["net"]                               # (S, B)
     base = net_c - collected["storage"]
     if and_pv:
         base = base - collected["solar"]
-    # final unwritten row of the baseline (net/storage rows are zero
-    # there); ``start_tau`` is the sim-range index of the FIRST collected
-    # row (data_offset + the state's t when collection began)
     tau_end = start_tau + S
-    extra = (params.series.solar_generation[tau_end]      # positive kWh
+    extra = (ser.solar_generation[tau_end]                 # positive kWh
              if and_pv else
              jnp.zeros(net_c.shape[1], net_c.dtype))[None, :]
-    price_end = params.series.electricity_pricing[tau_end][None, :]
-    carbon_end = params.series.carbon_intensity[tau_end][None, :]
+    price_end = ser.electricity_pricing[tau_end][None, :]
+    carbon_end = ser.carbon_intensity[tau_end][None, :]
     net_b = jnp.concatenate([base, extra], axis=0)         # (S + 1, B)
+
+    # controlled demand over the full window; the final unwritten row
+    # reads as ideal demand fully met (building.py:2554-2558 prefill)
+    cool_ideal_w = win(ser.cooling_demand)
+    heat_ideal_w = win(ser.heating_demand)
+    cool_act = jnp.concatenate([collected["cooling_demand_actual"],
+                                cool_ideal_w[-1:]], axis=0)
+    heat_act = jnp.concatenate([collected["heating_demand_actual"],
+                                heat_ideal_w[-1:]], axis=0)
+    if partial_load:
+        # DynamicsBuilding counterfactual (building.py:2863-2933): add back
+        # the ideal-vs-partial consumption delta. Heating quirk: the
+        # reference evaluates the heat-pump input power at the *scalar*
+        # outdoor temperature of the final row for the whole series
+        # (building.py:2893-2897).
+        from citylearn_tpu.core import hvac
+        outdoor_w = win(ser.outdoor_dry_bulb_temperature)
+        cool_diff = cool_ideal_w - cool_act
+        heat_diff = heat_ideal_w - heat_act
+        net_b = net_b + hvac.input_power(params.cooling_device, cool_diff,
+                                         outdoor_w, False)
+        heat_in_hp = hvac.input_power(params.heating_device, heat_diff,
+                                      outdoor_w[-1:], True)
+        net_b = net_b + jnp.where(params.heating_device.is_heat_pump, heat_in_hp,
+                                  heat_diff / params.dhw_device.efficiency)
     price_b = jnp.concatenate([collected["pricing"], price_end], axis=0)
     carbon_b = jnp.concatenate([collected["carbon"], carbon_end], axis=0)
     cost_b = net_b * price_b
@@ -117,6 +166,44 @@ def kpi_table(cfg: StaticConfig, params: DistrictParams,
             kpi.cost_jnp(cost_c),
             jnp.where(price_sum != 0, kpi.cost_jnp(cost_b), 0.0)),
     }
+
+    # ---- thermal comfort + resilience (cost_function.py:224-388); these
+    # are raw (un-normalized) values like the host table ----
+    indoor = jnp.concatenate(
+        [collected["indoor_t"], win(ser.indoor_dry_bulb_temperature)[-1:]], axis=0)
+    csp = jnp.concatenate(
+        [collected["cooling_sp"],
+         win(ser.indoor_dry_bulb_temperature_cooling_set_point)[-1:]], axis=0)
+    hsp = jnp.concatenate(
+        [collected["heating_sp"],
+         win(ser.indoor_dry_bulb_temperature_heating_set_point)[-1:]], axis=0)
+    band_w = win(ser.comfort_band)
+    occ_w = win(ser.occupant_count)
+    outage_w = win(ser.power_outage)
+    dis = kpi.discomfort_jnp(indoor, csp, hsp, band_w, occ_w)
+    dhw_w = win(ser.dhw_demand)
+    nsl_w = win(ser.non_shiftable_load)
+    expected = cool_act + heat_act + dhw_w + nsl_w
+    served_end = (cool_ideal_w[-1:] + heat_ideal_w[-1:] + dhw_w[-1:] + nsl_w[-1:])
+    served = jnp.concatenate([collected["served"], served_end], axis=0)
+    building.update({
+        "discomfort_proportion": dis[0],
+        "discomfort_cold_proportion": dis[1],
+        "discomfort_hot_proportion": dis[2],
+        "discomfort_cold_delta_minimum": dis[3],
+        "discomfort_cold_delta_maximum": dis[4],
+        "discomfort_cold_delta_average": dis[5],
+        "discomfort_hot_delta_minimum": dis[6],
+        "discomfort_hot_delta_maximum": dis[7],
+        "discomfort_hot_delta_average": dis[8],
+        "one_minus_thermal_resilience_proportion":
+            kpi.one_minus_thermal_resilience_jnp(
+                outage_w, indoor, csp, hsp, band_w, occ_w),
+        "power_outage_normalized_unserved_energy_total":
+            kpi.normalized_unserved_energy_jnp(expected, served, outage_w),
+        "annual_normalized_unserved_energy_total":
+            kpi.normalized_unserved_energy_jnp(expected, served),
+    })
 
     # district: control series drops the final index (length quirk above)
     dc = jnp.sum(net_c, axis=1)                            # (S,)

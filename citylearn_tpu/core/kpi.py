@@ -187,3 +187,53 @@ def carbon_emissions_jnp(emission: jnp.ndarray) -> jnp.ndarray:
 
 def cost_jnp(cost: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.clip(cost, 0.0, None), axis=0)
+
+
+def discomfort_jnp(indoor_t: jnp.ndarray, cooling_set_point: jnp.ndarray,
+                   heating_set_point: jnp.ndarray, band: jnp.ndarray,
+                   occupant_count: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """In-graph ``CostFunction.discomfort`` final values (reference
+    ``cost_function.py:224-321``) over ``(T, ...)`` series: (unmet, cold,
+    hot, cold_min, cold_max, cold_avg, hot_min, hot_max, hot_avg).
+    Unoccupied steps zero the deltas; zero occupied steps -> NaN
+    proportions, like the pandas division by a zero count."""
+    occ = occupant_count
+    cooling_delta = jnp.where(occ == 0.0, 0.0, indoor_t - cooling_set_point)
+    heating_delta = jnp.where(occ == 0.0, 0.0, indoor_t - heating_set_point)
+    hot = cooling_delta > band
+    cold = heating_delta < -band
+    unmet = hot | cold
+    occupied = jnp.sum(occ > 0.0, axis=0).astype(indoor_t.dtype)
+    denom = jnp.where(occupied > 0, occupied, jnp.nan)
+    cold_d = jnp.abs(jnp.clip(heating_delta, None, 0.0))
+    hot_d = jnp.abs(jnp.clip(cooling_delta, 0.0, None))
+    return (jnp.sum(unmet, axis=0) / denom, jnp.sum(cold, axis=0) / denom,
+            jnp.sum(hot, axis=0) / denom,
+            jnp.min(cold_d, axis=0), jnp.max(cold_d, axis=0),
+            jnp.mean(cold_d, axis=0),
+            jnp.min(hot_d, axis=0), jnp.max(hot_d, axis=0),
+            jnp.mean(hot_d, axis=0))
+
+
+def one_minus_thermal_resilience_jnp(power_outage: jnp.ndarray,
+                                     indoor_t: jnp.ndarray,
+                                     cooling_set_point: jnp.ndarray,
+                                     heating_set_point: jnp.ndarray,
+                                     band: jnp.ndarray,
+                                     occupant_count: jnp.ndarray) -> jnp.ndarray:
+    """Discomfort proportion restricted to outage steps (reference
+    ``cost_function.py:324-353``: occupant count zeroed where no outage)."""
+    occ = jnp.where(power_outage == 0.0, 0.0, occupant_count)
+    return discomfort_jnp(indoor_t, cooling_set_point, heating_set_point,
+                          band, occ)[0]
+
+
+def normalized_unserved_energy_jnp(expected: jnp.ndarray, served: jnp.ndarray,
+                                   power_outage: jnp.ndarray = None) -> jnp.ndarray:
+    """Reference ``cost_function.py:356-388``: unmet/expected over outage
+    steps (all steps when no signal given); 0/0 -> NaN like pandas."""
+    if power_outage is None:
+        power_outage = jnp.ones_like(expected)
+    unserved = jnp.where(power_outage == 0.0, 0.0, expected - served)
+    e = jnp.where(power_outage == 0.0, 0.0, expected)
+    return jnp.sum(unserved, axis=0) / jnp.sum(e, axis=0)

@@ -120,17 +120,41 @@ def build_obs_layout(spec: DistrictSpec) -> ObsLayout:
     return ObsLayout(union_names=tuple(union), building_indices=indices)
 
 
-def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
+def pack(spec: DistrictSpec, param_dtype=np.float32
+         ) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
     B = spec.n_buildings
     sl = slice(spec.simulation_start_time_step, spec.simulation_end_time_step + 1)
 
     solar = np.stack(
         [b.pv_nominal_power * b.series["solar_generation"][sl] / 1000.0
          for b in spec.buildings], axis=1).astype(np.float32)
-    outage = np.stack(
-        [(b.series["power_outage"][sl] if b.simulate_power_outage
-          else np.zeros_like(b.series["power_outage"][sl]))
-         for b in spec.buildings], axis=1).astype(np.float32)
+    # Outage signals: data-driven from the CSV; stochastic models resolve
+    # deterministically per reset in the reference (fresh RandomState(seed)
+    # each time, building.py:2566-2594), so the default-window signal can
+    # be baked here — the Gym adapter re-bakes per episode window at reset
+    # for rolling/random splits (envs/environment.py:_refresh_outage_signals)
+    ep_steps_bake = spec.episode_time_steps
+    if ep_steps_bake is None:
+        ep_steps_bake = spec.simulation_time_steps
+    elif isinstance(ep_steps_bake, list):
+        ep_steps_bake = ep_steps_bake[0][1] - ep_steps_bake[0][0] + 1
+    ep_steps_bake = int(ep_steps_bake)
+    T_sim = spec.simulation_time_steps
+    outage_cols = []
+    for b in spec.buildings:
+        if b.simulate_power_outage and b.stochastic_power_outage:
+            from citylearn_tpu.envs.outage import building_outage_signal
+            ep_sl = slice(spec.simulation_start_time_step,
+                          spec.simulation_start_time_step + ep_steps_bake)
+            col = np.zeros(T_sim, np.float32)
+            col[:ep_steps_bake] = building_outage_signal(
+                b, ep_steps_bake, spec.seconds_per_time_step, ep_sl)
+            outage_cols.append(col)
+        elif b.simulate_power_outage:
+            outage_cols.append(b.series["power_outage"][sl])
+        else:
+            outage_cols.append(np.zeros_like(b.series["power_outage"][sl]))
+    outage = np.stack(outage_cols, axis=1).astype(np.float32)
 
     series = SeriesData(
         non_shiftable_load=jnp.asarray(_stack(spec, "non_shiftable_load")),
@@ -153,7 +177,10 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
         occupant_count=jnp.asarray(_stack(spec, "occupant_count")),
     )
 
-    f32 = lambda vals: jnp.asarray(np.asarray(vals, np.float32))
+    # ``param_dtype``: device parameters are Python floats in the
+    # reference (schema JSON values); parity mode packs them at float64
+    # while the fast path uses float32 (see envs/environment.py)
+    f32 = lambda vals: jnp.asarray(np.asarray(vals, param_dtype))
     battery = BatteryParams(
         capacity=f32([b.battery.capacity for b in spec.buildings]),
         nominal_power=f32([b.battery.nominal_power for b in spec.buildings]),
@@ -166,6 +193,8 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
         power_efficiency_curve_y=f32([b.battery.power_efficiency_curve_y for b in spec.buildings]),
         capacity_power_curve_x=f32([b.battery.capacity_power_curve_x for b in spec.buildings]),
         capacity_power_curve_y=f32([b.battery.capacity_power_curve_y for b in spec.buildings]),
+        capacity_weak=jnp.asarray([b.battery.capacity_weak for b in spec.buildings]),
+        dod_weak=jnp.asarray([b.battery.dod_weak for b in spec.buildings]),
     )
 
     def hvac_params(get) -> HVACParams:
@@ -185,6 +214,8 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
             initial_soc=f32([get(b).initial_soc for b in spec.buildings]),
             max_input_power=f32([get(b).max_input_power for b in spec.buildings]),
             max_output_power=f32([get(b).max_output_power for b in spec.buildings]),
+            capacity_weak=jnp.asarray([get(b).capacity_weak for b in spec.buildings]),
+            capacity_npf32=jnp.asarray([get(b).capacity_npf32 for b in spec.buildings]),
         )
 
     layout = build_obs_layout(spec)
@@ -210,7 +241,7 @@ def pack(spec: DistrictSpec) -> Tuple[StaticConfig, DistrictParams, ObsLayout]:
 
     dynamics, dyn_cfg = _pack_dynamics(spec, sl)
     occupant, occ_cfg = _pack_occupant(spec, episode_steps)
-    chargers, evs, wms, ev_cfg = _pack_evs(spec, episode_steps)
+    chargers, evs, wms, ev_cfg = _pack_evs(spec, episode_steps, param_dtype)
 
     params = DistrictParams(
         series=series,
@@ -406,7 +437,7 @@ def _ev_obs_columns(spec: DistrictSpec, T: int):
     return cols
 
 
-def _pack_evs(spec: DistrictSpec, episode_steps: int):
+def _pack_evs(spec: DistrictSpec, episode_steps: int, param_dtype=np.float32):
     """Stack chargers/EVs/washing machines + precompile SOC event tensors."""
     from citylearn_tpu.compiler.events import resolve_ev_events
 
@@ -430,7 +461,7 @@ def _pack_evs(spec: DistrictSpec, episode_steps: int):
             float(weights.get("extra_self_production", 5.0)))
 
     chargers = evs = wms = None
-    f32 = lambda vals: jnp.asarray(np.asarray(vals, np.float32))
+    f32 = lambda vals: jnp.asarray(np.asarray(vals, param_dtype))
     if all_chargers:
         def sched(field):
             # pad/trim schedule arrays to the episode length (indexed by
@@ -510,6 +541,10 @@ def _pack_evs(spec: DistrictSpec, episode_steps: int):
                 power_efficiency_curve_y=bat(lambda b: b.power_efficiency_curve_y),
                 capacity_power_curve_x=bat(lambda b: b.capacity_power_curve_x),
                 capacity_power_curve_y=bat(lambda b: b.capacity_power_curve_y),
+                capacity_weak=jnp.asarray(
+                    [e.battery.capacity_weak for e in spec.electric_vehicles]),
+                dod_weak=jnp.asarray(
+                    [e.battery.dod_weak for e in spec.electric_vehicles]),
             ),
             force_soc=jnp.asarray(force),
             drift_mult=jnp.asarray(drift),

@@ -44,6 +44,22 @@ from citylearn_tpu.core.types import (
 INF = jnp.inf
 
 
+def _store_rounder(cfg: StaticConfig):
+    """Float32 store-point rounding for parity mode.
+
+    The reference computes each step in Python floats (float64) but stores
+    every carried quantity into float32 numpy arrays (SOC/energy_balance
+    ``energy_model.py:801-803``, per-device electricity_consumption
+    ``energy_model.py:155``, net/cost/emission ``building.py:2559-2561``,
+    demand/temperature series writes). In ``parity_f64`` mode we run the
+    math in float64 and round at exactly those store points, making the
+    year-long trajectory track the reference to ~1 float32 ulp. Identity
+    in the normal (all-float32, TPU-fast) mode."""
+    if cfg.parity_f64:
+        return lambda x: x.astype(jnp.float32).astype(jnp.float64)
+    return lambda x: x
+
+
 class _ThermalResult(NamedTuple):
     soc: jnp.ndarray
     balance: jnp.ndarray
@@ -58,7 +74,7 @@ def _flex(outage, solar_abs, cons_accum):
 
 
 def _thermal_block(dev, tank, soc_prev, demand, action, outdoor_t, heating: bool,
-                   conv_capacity, hours_ratio_applies: bool,
+                   conv_capacity, conv_npf32, hours_ratio_applies: bool,
                    outage, solar_abs, cons_accum, dev_cons_init,
                    cfg: StaticConfig) -> Tuple[_ThermalResult, jnp.ndarray]:
     """One end-use (cooling/heating/dhw): device + its storage tank.
@@ -75,42 +91,58 @@ def _thermal_block(dev, tank, soc_prev, demand, action, outdoor_t, heating: bool
     hours_ratio = cfg.seconds_per_time_step / 3600.0
     energy_req = action * conv_capacity * (hours_ratio if hours_ratio_applies else 1.0)
     ratio = cfg.time_step_ratio
+    r32 = _store_rounder(cfg)
+    if cfg.parity_f64:
+        # action * capacity rounds to float32 when the capacity is itself
+        # np.float32 (autosized tanks; building.py:1663 with
+        # energy_model.py:793's np.nanmax over the f32 demand series)
+        energy_req = jnp.where(conv_npf32,
+                               energy_req.astype(jnp.float32).astype(energy_req.dtype),
+                               energy_req)
+    round_tank = lambda tr: tr._replace(soc=r32(tr.soc),
+                                        energy_balance=r32(tr.energy_balance))
 
     # ---- variant A: device first, then storage charge (action >= 0) ----
     # update_energy_from_<end_use>_device (building.py:1641-1661): storage
     # balance at t is still 0, so storage_output = 0.
     flex1 = _flex(outage, solar_abs, cons_accum)
-    max_out1 = hvac.max_output_power(dev, outdoor_t, heating, flex1, dev_cons_init)
+    max_out1 = hvac.max_output_power(dev, outdoor_t, heating, flex1, dev_cons_init,
+                                     cfg.parity_f64)
     out_A = jnp.minimum(demand, max_out1)
-    cons_dev_A = jnp.maximum(0.0, hvac.input_power(dev, out_A, outdoor_t, heating))
+    cons_dev_A = r32(jnp.maximum(0.0, hvac.input_power(dev, out_A, outdoor_t, heating,
+                                                       cfg.parity_f64)))
     # update_<end_use>_storage charging branch (building.py:1663-1687):
     # clamp by the device's max output given consumption booked so far.
     flex2 = _flex(outage, solar_abs, cons_accum + cons_dev_A)
     max_out2 = hvac.max_output_power(dev, outdoor_t, heating, flex2,
-                                     dev_cons_init + cons_dev_A)
+                                     dev_cons_init + cons_dev_A, cfg.parity_f64)
     charge_A = jnp.minimum(max_out2, energy_req)
-    tank_A = tank_charge(tank, soc_prev, charge_A / ratio, ratio)
-    cons_store_A = hvac.input_power(dev, jnp.maximum(tank_A.energy_balance, 0.0),
-                                    outdoor_t, heating)
+    tank_A = round_tank(tank_charge(tank, soc_prev, charge_A / ratio, ratio,
+                                    cfg.parity_f64))
+    cons_store_A = r32(hvac.input_power(dev, jnp.maximum(tank_A.energy_balance, 0.0),
+                                        outdoor_t, heating, cfg.parity_f64))
 
     # ---- variant B: storage discharge first, then device (action < 0) ----
     discharge_B = jnp.maximum(-demand, energy_req)
-    tank_B = tank_charge(tank, soc_prev, discharge_B / ratio, ratio)
-    cons_store_B = hvac.input_power(dev, jnp.maximum(tank_B.energy_balance, 0.0),
-                                    outdoor_t, heating)  # 0 for true discharge
+    tank_B = round_tank(tank_charge(tank, soc_prev, discharge_B / ratio, ratio,
+                                    cfg.parity_f64))
+    cons_store_B = r32(hvac.input_power(dev, jnp.maximum(tank_B.energy_balance, 0.0),
+                                        outdoor_t, heating, cfg.parity_f64))  # 0 for true discharge
     storage_out_B = -jnp.minimum(tank_B.energy_balance, 0.0)
     flex_B = _flex(outage, solar_abs, cons_accum + cons_store_B)
     max_out_B = hvac.max_output_power(dev, outdoor_t, heating, flex_B,
-                                      dev_cons_init + cons_store_B)
-    out_B = jnp.minimum(demand - storage_out_B, max_out_B)
-    cons_dev_B = jnp.maximum(0.0, hvac.input_power(dev, out_B, outdoor_t, heating))
+                                      dev_cons_init + cons_store_B, cfg.parity_f64)
+    # demand(f32 store) - storage_output(f32 store) rounds f32 in the ref
+    out_B = jnp.minimum(r32(demand - storage_out_B), max_out_B)
+    cons_dev_B = r32(jnp.maximum(0.0, hvac.input_power(dev, out_B, outdoor_t, heating,
+                                                       cfg.parity_f64)))
 
     discharging = action < 0.0
     pick = lambda a, b: jnp.where(discharging, b, a)
     soc = pick(tank_A.soc, tank_B.soc)
     balance = pick(tank_A.energy_balance, tank_B.energy_balance)
     device_output = pick(out_A, out_B)
-    apply_cons = pick(cons_dev_A + cons_store_A, cons_dev_B + cons_store_B)
+    apply_cons = pick(r32(cons_dev_A + cons_store_A), r32(cons_dev_B + cons_store_B))
     return (_ThermalResult(soc=soc, balance=balance, device_output=device_output,
                            apply_consumption=apply_cons),
             cons_accum + apply_cons)
@@ -130,6 +162,7 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     is_t0 = t == 0
     ratio = cfg.time_step_ratio
     hours_ratio = cfg.seconds_per_time_step / 3600.0
+    r32 = _store_rounder(cfg)
 
     at = lambda arr: jnp.take(arr, tau, axis=0)  # (T, B) -> (B,)
     nsl = at(series.non_shiftable_load)
@@ -151,20 +184,21 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     # (building.py:2629-2632) — shipped quirk.
     zero = jnp.zeros_like(nsl)
     if cfg.any_cooling:
-        reset_cool = hvac.input_power(params.cooling_device, cooling_demand_ideal,
-                                      outdoor_t, False)
+        reset_cool = r32(hvac.input_power(params.cooling_device, cooling_demand_ideal,
+                                          outdoor_t, False, cfg.parity_f64))
     else:
         reset_cool = zero
     if cfg.any_heating:
         heat_in_hp = hvac.input_power(params.heating_device, heating_demand_ideal,
-                                      outdoor_t, True)
+                                      outdoor_t, True, cfg.parity_f64)
         heat_in_quirk = heating_demand_ideal / params.dhw_device.efficiency
-        reset_heat = jnp.where(params.heating_device.is_heat_pump, heat_in_hp,
-                               heat_in_quirk)
+        reset_heat = r32(jnp.where(params.heating_device.is_heat_pump, heat_in_hp,
+                                   heat_in_quirk))
     else:
         reset_heat = zero
     if cfg.any_dhw:
-        reset_dhw = hvac.input_power(params.dhw_device, dhw_demand, outdoor_t, True)
+        reset_dhw = r32(hvac.input_power(params.dhw_device, dhw_demand, outdoor_t,
+                                         True, cfg.parity_f64))
     else:
         reset_dhw = zero
     reset_nsl = nsl
@@ -204,16 +238,16 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
             out_t = outdoor_t[m]
             elec_c = cool_act * cool_dev.nominal_power * hours_ratio
             partial_c = hvac.max_output_power(cool_dev, out_t, False, elec_c,
-                                              dev_init_cool[m])
-            partial_c = jnp.where((mode == 1) | (mode == 3), partial_c, 0.0)
+                                              dev_init_cool[m], cfg.parity_f64)
+            partial_c = r32(jnp.where((mode == 1) | (mode == 3), partial_c, 0.0))
             cooling_demand = cooling_demand.at[m].set(
                 jnp.where(control_warm & cool_active, partial_c,
                           cooling_demand[m]))
             # heating uses no hours ratio (building.py:3146) — shipped quirk
             elec_h = heat_act * heat_dev.nominal_power
             partial_h = hvac.max_output_power(heat_dev, out_t, True, elec_h,
-                                              dev_init_heat[m])
-            partial_h = jnp.where((mode == 2) | (mode == 3), partial_h, 0.0)
+                                              dev_init_heat[m], cfg.parity_f64)
+            partial_h = r32(jnp.where((mode == 2) | (mode == 3), partial_h, 0.0))
             heating_demand = heating_demand.at[m].set(
                 jnp.where(control_warm & heat_active, partial_h,
                           heating_demand[m]))
@@ -225,7 +259,9 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     bat_early = battery_charge(params.battery, state.battery_soc,
                                state.battery_efficiency,
                                state.battery_degraded_capacity,
-                               bat_energy / ratio, ratio)
+                               bat_energy / ratio, ratio, cfg.parity_f64)
+    bat_early = bat_early._replace(soc=r32(bat_early.soc),
+                                   energy_balance=r32(bat_early.energy_balance))
     bat_discharging = bat_action < 0.0
     cons_accum = cons_accum + jnp.where(bat_discharging, bat_early.energy_balance, 0.0)
 
@@ -238,8 +274,8 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
         cool, cons_accum = _thermal_block(
             params.cooling_device, params.cooling_storage, state.cooling_storage_soc,
             cooling_demand, actions.get("cooling_storage", zero), outdoor_t, False,
-            params.cooling_storage.capacity, False, outage, solar_abs, cons_accum,
-            dev_init_cool, cfg)
+            params.cooling_storage.capacity, params.cooling_storage.capacity_npf32,
+            False, outage, solar_abs, cons_accum, dev_init_cool, cfg)
     else:
         cool = inert._replace(soc=state.cooling_storage_soc)
     if cfg.any_heating:
@@ -247,6 +283,7 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
             params.heating_device, params.heating_storage, state.heating_storage_soc,
             heating_demand, actions.get("heating_storage", zero), outdoor_t, True,
             params.cooling_storage.capacity,  # quirk: building.py:1720
+            params.cooling_storage.capacity_npf32,
             True, outage, solar_abs, cons_accum, dev_init_heat, cfg)
     else:
         heat = inert._replace(soc=state.heating_storage_soc)
@@ -255,12 +292,13 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
             params.dhw_device, params.dhw_storage, state.dhw_storage_soc,
             dhw_demand, actions.get("dhw_storage", zero), outdoor_t, True,
             params.heating_storage.capacity,  # quirk: building.py:1765
+            params.heating_storage.capacity_npf32,
             True, outage, solar_abs, cons_accum, dev_init_dhw, cfg)
     else:
         dhw = inert._replace(soc=state.dhw_storage_soc)
 
     # ---- non-shiftable load (building.py:1784-1789) ----
-    nsl_met = jnp.minimum(nsl, _flex(outage, solar_abs, cons_accum))
+    nsl_met = r32(jnp.minimum(nsl, _flex(outage, solar_abs, cons_accum)))
     cons_accum = cons_accum + nsl_met
 
     # ---- electrical storage, late variant (charging, building.py:1791-1812) ----
@@ -268,7 +306,9 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     bat_late = battery_charge(params.battery, state.battery_soc,
                               state.battery_efficiency,
                               state.battery_degraded_capacity,
-                              bat_energy_late / ratio, ratio)
+                              bat_energy_late / ratio, ratio, cfg.parity_f64)
+    bat_late = bat_late._replace(soc=r32(bat_late.soc),
+                                 energy_balance=r32(bat_late.energy_balance))
     pickb = lambda e, l: jnp.where(bat_discharging, e, l)
     bat_soc = pickb(bat_early.soc, bat_late.soc)
     bat_balance = pickb(bat_early.energy_balance, bat_late.energy_balance)
@@ -372,12 +412,13 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
         res = battery_charge(bp_c, gather(soc_read),
                              gather(state.ev_efficiency),
                              gather(state.ev_degraded_capacity),
-                             energy_kwh, 1.0)
+                             energy_kwh, 1.0, cfg.parity_f64)
+        res = res._replace(soc=r32(res.soc), energy_balance=r32(res.energy_balance))
         applied = (a != 0.0) & connected
         balance = jnp.where(applied, res.energy_balance, 0.0)
-        cons_c = jnp.where(applied,
-                           jnp.where(balance >= 0.0, balance / eff, balance * eff),
-                           0.0)
+        cons_c = r32(jnp.where(applied,
+                               jnp.where(balance >= 0.0, balance / eff, balance * eff),
+                               0.0))
         charger_energy = jnp.where(a != 0.0, energy, 0.0)  # past_charging_action kWh
         charger_applied = applied
         charger_soc_prev = jnp.where(is_t0, gather(evp.battery.initial_soc),
@@ -392,8 +433,8 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
             res.degraded_capacity, mode="drop")
         charger_soc_now = ev_soc_new[gidx]
         charger_cons_c = cons_c
-        chargers_cons_b = jax.ops.segment_sum(cons_c, ch.building_index,
-                                              num_segments=B)
+        chargers_cons_b = r32(jax.ops.segment_sum(cons_c, ch.building_index,
+                                                  num_segments=B))
 
     # ---- washing machines (energy_model.py:1289-1334) ----
     wm_cons_b = jnp.zeros_like(nsl)
@@ -412,8 +453,8 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
                    & (start <= t) & (t <= end))
         wm_cons_w = jnp.where(trigger, jnp.take(wmp.triggered_load, t, axis=0), 0.0)
         wm_initiated_new = initiated | trigger
-        wm_cons_b = jax.ops.segment_sum(wm_cons_w, wmp.building_index,
-                                        num_segments=B)
+        wm_cons_b = r32(jax.ops.segment_sum(wm_cons_w, wmp.building_index,
+                                            num_segments=B))
 
     # ---- update_variables accounting (building.py:2615-2703) ----
     # apply-phase totals per device
@@ -424,50 +465,53 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
 
     # t == 0 branch of update_variables re-adds demand-derived consumption
     if cfg.any_cooling:
-        uv_cool = hvac.input_power(params.cooling_device,
-                                   cool.device_output + cool.balance, outdoor_t, False)
+        uv_cool = r32(hvac.input_power(params.cooling_device,
+                                       r32(cool.device_output) + cool.balance,
+                                       outdoor_t, False, cfg.parity_f64))
     else:
         uv_cool = zero
     if cfg.any_heating:
         uv_heat_hp = hvac.input_power(params.heating_device,
-                                      heat.device_output + heat.balance, outdoor_t, True)
-        uv_heat = jnp.where(
+                                      r32(heat.device_output) + heat.balance,
+                                      outdoor_t, True, cfg.parity_f64)
+        uv_heat = r32(jnp.where(
             params.heating_device.is_heat_pump, uv_heat_hp,
-            (heat.device_output + heat.balance) / params.dhw_device.efficiency)
+            (r32(heat.device_output) + heat.balance) / params.dhw_device.efficiency))
     else:
         uv_heat = zero
     if cfg.any_dhw:
-        uv_dhw = hvac.input_power(params.dhw_device,
-                                  dhw.device_output + dhw.balance, outdoor_t, True)
+        uv_dhw = r32(hvac.input_power(params.dhw_device,
+                                      r32(dhw.device_output) + dhw.balance,
+                                      outdoor_t, True, cfg.parity_f64))
     else:
         uv_dhw = zero
 
-    cool_total = cool_cons + t0(reset_cool + uv_cool)
-    heat_total = heat_cons + t0(reset_heat + uv_heat)
-    dhw_total = dhw_cons + t0(reset_dhw + uv_dhw)
-    nsl_total = nsl_met + t0(reset_nsl + nsl_met)
-    bat_total = bat_cons + t0(bat_balance)
+    cool_total = r32(cool_cons + t0(reset_cool + uv_cool))
+    heat_total = r32(heat_cons + t0(reset_heat + uv_heat))
+    dhw_total = r32(dhw_cons + t0(reset_dhw + uv_dhw))
+    nsl_total = r32(nsl_met + t0(reset_nsl + nsl_met))
+    bat_total = r32(bat_cons + t0(bat_balance))
 
-    solar_neg = -solar_abs
+    solar_neg = r32(-solar_abs)
     net = (cool_total + heat_total + dhw_total + nsl_total + bat_total + solar_neg
            + chargers_cons_b + wm_cons_b)
-    net = jnp.where(outage, 0.0, net)
-    cost = net * pricing
-    emission = jnp.maximum(0.0, net * carbon)
+    net = r32(jnp.where(outage, 0.0, net))
+    cost = r32(net * pricing)
+    emission = r32(jnp.maximum(0.0, net * carbon))
 
     # storage electricity consumption series for counterfactual KPIs
     # (building.py:414-464): device input power of the tank balance.
-    cool_store_cons = hvac.input_power(params.cooling_device, cool.balance,
-                                       outdoor_t, False) if cfg.any_cooling else zero
-    heat_store_cons = hvac.input_power(params.heating_device, heat.balance,
-                                       outdoor_t, True) if cfg.any_heating else zero
-    dhw_store_cons = hvac.input_power(params.dhw_device, dhw.balance,
-                                      outdoor_t, True) if cfg.any_dhw else zero
+    cool_store_cons = r32(hvac.input_power(params.cooling_device, cool.balance,
+                                           outdoor_t, False, cfg.parity_f64)) if cfg.any_cooling else zero
+    heat_store_cons = r32(hvac.input_power(params.heating_device, heat.balance,
+                                           outdoor_t, True, cfg.parity_f64)) if cfg.any_heating else zero
+    dhw_store_cons = r32(hvac.input_power(params.dhw_device, dhw.balance,
+                                          outdoor_t, True, cfg.parity_f64)) if cfg.any_dhw else zero
 
     # ---- LSTM temperature dynamics (building.py:2935-3078) ----
     # fresh demand observations (building.py:1435-1437)
-    cooling_demand_obs = cool.device_output + jnp.maximum(-cool.balance, 0.0)
-    heating_demand_obs = heat.device_output + jnp.maximum(-heat.balance, 0.0)
+    cooling_demand_obs = r32(cool.device_output) + jnp.maximum(-cool.balance, 0.0)
+    heating_demand_obs = r32(heat.device_output) + jnp.maximum(-heat.balance, 0.0)
     temp_t = temp_ideal
     lstm_h = list(state.lstm_h)
     lstm_c = list(state.lstm_c)
@@ -581,14 +625,14 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
         nan = jnp.full_like(new_csp_ov, jnp.nan)
         # effective setpoints for this step's reward/series reflect the
         # fresh mutation; reversion applies from t + 1 (building.py:3310-3317)
-        csp_eff = jnp.where(trig & ~heating_mode, current_sp + delta, csp_eff)
-        hsp_eff = jnp.where(trig & heating_mode, current_sp + delta, hsp_eff)
-        new_csp_ov = jnp.where(revert, nan, new_csp_ov)
-        new_hsp_ov = jnp.where(revert, nan, new_hsp_ov)
+        csp_eff = r32(jnp.where(trig & ~heating_mode, current_sp + delta, csp_eff))
+        hsp_eff = r32(jnp.where(trig & heating_mode, current_sp + delta, hsp_eff))
+        new_csp_ov = r32(jnp.where(revert, nan, new_csp_ov))
+        new_hsp_ov = r32(jnp.where(revert, nan, new_hsp_ov))
         counter = jnp.where(revert, -1, counter)
         occ_state = dict(
             occ_csp_override=new_csp_ov, occ_hsp_override=new_hsp_ov,
-            occ_hold_counter=counter, occ_prev_temp=temp_t,
+            occ_hold_counter=counter, occ_prev_temp=r32(temp_t),
             occ_prev_csp=csp_eff, occ_prev_hsp=hsp_eff)
 
     # ---- debug-mode physics assertions (reference building.py:1825-1834,

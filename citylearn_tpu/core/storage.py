@@ -17,7 +17,7 @@ class TankStepResult(NamedTuple):
 
 
 def tank_charge(sp: StorageTankParams, soc_prev: jnp.ndarray, energy: jnp.ndarray,
-                time_step_ratio: float) -> TankStepResult:
+                time_step_ratio: float, parity_f64: bool = False) -> TankStepResult:
     """One StorageTank charge/discharge event.
 
     The reference applies ``time_step_ratio`` twice for tanks —
@@ -26,6 +26,11 @@ def tank_charge(sp: StorageTankParams, soc_prev: jnp.ndarray, energy: jnp.ndarra
     divides once in ``Building._convert_energy_for_storage``
     (``building.py:1814-1823``); we reproduce that exactly, callers pass
     the pre-divided energy.
+
+    ``parity_f64``: the reference reads ``soc`` as an np.float32 scalar, so
+    ``soc * capacity`` (``energy_model.py:666``) rounds to float32 when the
+    capacity is a weak Python float (schema literal); autosized capacities
+    are strong np.float64 and keep the chain in float64 (NumPy 2 / NEP 50).
     """
     energy = energy * time_step_ratio
     energy = jnp.where(energy >= 0.0,
@@ -34,7 +39,12 @@ def tank_charge(sp: StorageTankParams, soc_prev: jnp.ndarray, energy: jnp.ndarra
     energy = energy * time_step_ratio
 
     cap = sp.capacity
-    energy_init = jnp.maximum(0.0, soc_prev * cap * (1.0 - sp.loss_coefficient))
+    soc_cap = soc_prev * cap
+    if parity_f64:
+        soc_cap = jnp.where(sp.capacity_weak,
+                            soc_cap.astype(jnp.float32).astype(soc_cap.dtype),
+                            soc_cap)
+    energy_init = jnp.maximum(0.0, soc_cap * (1.0 - sp.loss_coefficient))
     rt = jnp.sqrt(sp.efficiency)
     energy_final = jnp.where(
         energy >= 0.0,

@@ -32,6 +32,11 @@ class BatteryParams(struct.PyTreeNode):
     power_efficiency_curve_y: jnp.ndarray
     capacity_power_curve_x: jnp.ndarray
     capacity_power_curve_y: jnp.ndarray
+    # parity-mode NumPy-2 scalar provenance (bool (B,)): True when the
+    # reference holds the parameter as a weak Python float, making
+    # ``np.float32(soc) * capacity`` round to float32 (see core/battery.py)
+    capacity_weak: jnp.ndarray = None
+    dod_weak: jnp.ndarray = None
 
 
 class HVACParams(struct.PyTreeNode):
@@ -55,6 +60,8 @@ class StorageTankParams(struct.PyTreeNode):
     initial_soc: jnp.ndarray
     max_input_power: jnp.ndarray         # +inf when unconstrained
     max_output_power: jnp.ndarray
+    capacity_weak: jnp.ndarray = None    # parity-mode provenance (B,) bool
+    capacity_npf32: jnp.ndarray = None   # capacity itself np.float32 (B,) bool
 
 
 class SeriesData(struct.PyTreeNode):
@@ -202,6 +209,13 @@ class StaticConfig:
     seconds_per_time_step: float
     time_step_ratio: float
     simulate_power_outage: Tuple[bool, ...]   # per building
+    # Bit-exact parity mode: compute each step in float64 (like the
+    # reference's Python-float arithmetic) but round to float32 exactly
+    # where the reference stores into its float32 arrays (SOC,
+    # energy_balance, per-device electricity_consumption, net/cost/
+    # emission, demand/temperature series writes). Requires x64 enabled
+    # at trace time; see envs/environment.py.
+    parity_f64: bool = False
     reward_exponent: float = 1.0
     reward_type: str = "RewardFunction"
     # ComfortReward parameters (reference reward_function.py:216-340)

@@ -54,6 +54,12 @@ class CityLearnEnv:
                  render: bool = None, render_mode: str = None,
                  render_directory: str = None, render_session_name: str = None,
                  start_date: str = None, **kwargs: Any):
+        # Parity mode (VERDICT r2 #2): float64 step arithmetic with float32
+        # rounding at the reference's array-store points — tracks the
+        # reference's Python-float-over-float32-arrays trajectory to ~1
+        # float32 ulp over year-long episodes. Off by default (the
+        # production path is all-float32, TPU-fast).
+        self.parity_f64 = bool(kwargs.pop("parity_f64", False))
         if isinstance(schema, str) and not os.path.exists(schema):
             # named bundled/cached dataset (reference citylearn.py:863-884)
             from citylearn_tpu.data import DataSet
@@ -70,7 +76,26 @@ class CityLearnEnv:
             # and action lists etc., reference citylearn.py:138-201) pass
             # straight through to the compiler
             **kwargs)
-        self.cfg, self.params, self.layout = pack(self.spec)
+        if self.parity_f64:
+            # pack device parameters at float64 (they are Python floats in
+            # the reference — schema JSON values — so float32 packing would
+            # perturb every energy conversion by ~1e-8 relative and flip
+            # occasional float32 store ulps), then lift the float32 data
+            # series too (lossless — the reference's data arrays ARE
+            # float32). LSTM dynamics groups stay float32 like torch.
+            with jax.enable_x64(True):
+                self.cfg, self.params, self.layout = pack(
+                    self.spec, param_dtype=np.float64)
+                self.cfg = type(self.cfg)(**{**self.cfg.__dict__,
+                                             "parity_f64": True})
+                dyn = self.params.dynamics
+                p = self.params.replace(dynamics=())
+                p = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float64)
+                    if x.dtype == jnp.float32 else x, p)
+                self.params = p.replace(dynamics=dyn)
+        else:
+            self.cfg, self.params, self.layout = pack(self.spec)
         if reward_function is not None:
             # the constructor override replaces the schema's reward entirely
             # (reference citylearn.py:2145-2152), including a per-building
@@ -79,6 +104,9 @@ class CityLearnEnv:
                                          "reward_type": reward_function,
                                          "reward_per_building": None})
         self._step_jit = jax.jit(functools.partial(district_step, self.cfg))
+        import contextlib
+        self._x64 = ((lambda: jax.enable_x64(True)) if self.parity_f64
+                     else contextlib.nullcontext)
         self.episode_tracker = EpisodeTracker(
             self.spec.simulation_start_time_step, self.spec.simulation_end_time_step)
         self._obs_static_np = np.asarray(self.params.obs_static)
@@ -271,7 +299,19 @@ class CityLearnEnv:
                         - self.spec.simulation_start_time_step)
         self._t = 0
         self._refresh_outage_signals()
-        self._state = initial_state(self.cfg, self.params, self._offset)
+        with self._x64():
+            self._state = initial_state(self.cfg, self.params, self._offset)
+            if self.parity_f64:
+                # lift the float32-pinned state fields (occupant prevs, EV
+                # zero-cases); LSTM carries stay float32 like the reference
+                lstm = (self._state.lstm_h, self._state.lstm_c,
+                        self._state.dyn_input)
+                s = self._state.replace(lstm_h=(), lstm_c=(), dyn_input=())
+                s = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float64)
+                    if x.dtype == jnp.float32 else x, s)
+                self._state = s.replace(lstm_h=lstm[0], lstm_c=lstm[1],
+                                        dyn_input=lstm[2])
         self._rewards = [[]]
         T = self.time_steps
         B = self.cfg.n_buildings
@@ -332,8 +372,11 @@ class CityLearnEnv:
         T_sim = self.spec.simulation_time_steps
         full = np.zeros((T_sim, B), np.float32)
         full[self._offset:self._offset + T_ep] = self._outage_np
-        self.params = self.params.replace(
-            series=self.params.series.replace(power_outage=jnp.asarray(full)))
+        if self.parity_f64:
+            full = full.astype(np.float64)
+        with self._x64():
+            self.params = self.params.replace(
+                series=self.params.series.replace(power_outage=jnp.asarray(full)))
 
     def _reset_consumptions(self, idx: int):
         """Reset-time ``update_variables`` values at absolute sim index
@@ -410,12 +453,15 @@ class CityLearnEnv:
         """Flat agent action lists -> name -> (B,)/(C,)/(W,) arrays
         (reference citylearn.py:1063-1134)."""
         B = self.cfg.n_buildings
-        out = {k: np.zeros(B, np.float32) for k in STORAGE_ACTIONS + DEVICE_ACTIONS}
+        # parity mode keeps agent actions at float64 like the reference's
+        # Python floats; the fast path rounds them to float32
+        adt = np.float64 if self.parity_f64 else np.float32
+        out = {k: np.zeros(B, adt) for k in STORAGE_ACTIONS + DEVICE_ACTIONS}
         ch_slots, wm_slots = self._charger_action_slots
         if self.cfg.has_evs:
-            out["electric_vehicle_storage"] = np.zeros(self.cfg.n_chargers, np.float32)
+            out["electric_vehicle_storage"] = np.zeros(self.cfg.n_chargers, adt)
         if self.cfg.has_washing_machines:
-            out["washing_machine"] = np.zeros(self.cfg.n_washing_machines, np.float32)
+            out["washing_machine"] = np.zeros(self.cfg.n_washing_machines, adt)
         if self.central_agent:
             flat = list(np.asarray(actions[0]).ravel())
             per_building = []
@@ -440,8 +486,9 @@ class CityLearnEnv:
 
     def step(self, actions) -> Tuple[List[List[float]], List[float], bool, bool, dict]:
         acts = self._parse_actions(actions)
-        acts_j = {k: jnp.asarray(v) for k, v in acts.items()}
-        self._state, out = self._step_jit(self.params, self._state, acts_j)
+        with self._x64():
+            acts_j = {k: jnp.asarray(v) for k, v in acts.items()}
+            self._state, out = self._step_jit(self.params, self._state, acts_j)
         out = jax.device_get(out)
         t = self._t
         h = self._history

@@ -438,6 +438,113 @@ class BuildingView(_SpecDelegate):
     def energy_from_dhw_device(self) -> np.ndarray:
         return self._hist("dhw_demand_met")
 
+    # ------------------------------------------------------------------
+    # storage flow series (reference building.py:479-560): clipped
+    # energy-balance polarities
+    # ------------------------------------------------------------------
+    @property
+    def cooling_storage_electricity_consumption(self) -> np.ndarray:
+        return self._hist("cooling_storage_cons")
+
+    @property
+    def heating_storage_electricity_consumption(self) -> np.ndarray:
+        return self._hist("heating_storage_cons")
+
+    @property
+    def dhw_storage_electricity_consumption(self) -> np.ndarray:
+        return self._hist("dhw_storage_cons")
+
+    @property
+    def electrical_storage_electricity_consumption(self) -> np.ndarray:
+        return self._hist("battery_cons")
+
+    @property
+    def energy_from_cooling_storage(self) -> np.ndarray:
+        return np.clip(self._hist("cooling_storage_balance"), None, 0) * -1
+
+    @property
+    def energy_from_heating_storage(self) -> np.ndarray:
+        return np.clip(self._hist("heating_storage_balance"), None, 0) * -1
+
+    @property
+    def energy_from_dhw_storage(self) -> np.ndarray:
+        return np.clip(self._hist("dhw_storage_balance"), None, 0) * -1
+
+    @property
+    def energy_from_electrical_storage(self) -> np.ndarray:
+        return np.clip(self._hist("battery_balance"), None, 0) * -1
+
+    @property
+    def energy_from_cooling_device_to_cooling_storage(self) -> np.ndarray:
+        return np.clip(self._hist("cooling_storage_balance"), 0, None)
+
+    @property
+    def energy_from_heating_device_to_heating_storage(self) -> np.ndarray:
+        return np.clip(self._hist("heating_storage_balance"), 0, None)
+
+    @property
+    def energy_from_dhw_device_to_dhw_storage(self) -> np.ndarray:
+        return np.clip(self._hist("dhw_storage_balance"), 0, None)
+
+    @property
+    def energy_to_electrical_storage(self) -> np.ndarray:
+        return np.clip(self._hist("battery_balance"), 0, None)
+
+    @property
+    def energy_to_non_shiftable_load(self) -> np.ndarray:
+        return self._hist("non_shiftable_load_met")
+
+    # ------------------------------------------------------------------
+    # device COP series (reference building.py:600-632: heat pumps only,
+    # zeros for electric heaters)
+    # ------------------------------------------------------------------
+    def _cop_series(self, dev, heating: bool) -> np.ndarray:
+        env = self._env
+        n = env.time_step + 1
+        sl = slice(env.episode_tracker.episode_start_time_step,
+                   env.episode_tracker.episode_start_time_step + n)
+        if not dev.is_heat_pump:
+            return np.zeros(n, np.float32)
+        t = self._spec.series["outdoor_dry_bulb_temperature"][sl].astype(np.float64)
+        return heat_pump_cop_np(
+            t, dev.efficiency,
+            dev.target_heating_temperature if heating
+            else dev.target_cooling_temperature, heating)
+
+    @property
+    def cooling_device_cop(self) -> np.ndarray:
+        return self._cop_series(self._spec.cooling_device, False)
+
+    @property
+    def heating_device_cop(self) -> np.ndarray:
+        return self._cop_series(self._spec.heating_device, True)
+
+    @property
+    def dhw_device_cop(self) -> np.ndarray:
+        return self._cop_series(self._spec.dhw_device, True)
+
+    # ------------------------------------------------------------------
+    # ideal-load counterfactual series (reference building.py:2917-2933)
+    # ------------------------------------------------------------------
+    def _raw_window(self, name: str) -> np.ndarray:
+        env = self._env
+        sl = slice(env.episode_tracker.episode_start_time_step,
+                   env.episode_tracker.episode_start_time_step
+                   + env.time_step + 1)
+        return self._spec.series[name][sl].astype(np.float32)
+
+    @property
+    def cooling_demand_without_partial_load(self) -> np.ndarray:
+        return self._raw_window("cooling_demand")
+
+    @property
+    def heating_demand_without_partial_load(self) -> np.ndarray:
+        return self._raw_window("heating_demand")
+
+    @property
+    def indoor_dry_bulb_temperature_without_partial_load(self) -> np.ndarray:
+        return self._raw_window("indoor_dry_bulb_temperature")
+
     @property
     def indoor_dry_bulb_temperature(self) -> np.ndarray:
         """Realized indoor temperature (LSTM-predicted for dynamics

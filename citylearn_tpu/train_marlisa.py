@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from citylearn_tpu.agents.sac import _policy_sample
+from citylearn_tpu.core.obs_encoder import encode_obs
 from citylearn_tpu.train import BatchedSAC, TrainConfig, TrainState
 
 COORD_VARS = 2
@@ -300,3 +301,55 @@ class BatchedMARLISA(BatchedSAC):
             return jax.lax.scan(one_step, ms, None, length=n_steps)
 
         return chunk
+
+    # ------------------------------------------------------------------
+    def evaluate(self, n_steps: int = None,
+                 baseline_condition: str = "_without_storage"):
+        """Deterministic evaluation with the LIVE coordination ring.
+
+        Overrides the BatchedSAC evaluator (which pads the coordination
+        dims with zeros): the policy was trained on ring-produced
+        coordination variables, so the evaluated policy must see them too
+        (reference ``marlisa.py:298-331`` runs the same iterative ring at
+        ``deterministic=True``)."""
+        from citylearn_tpu.core.evaluate import collect_episode, kpi_table
+
+        cache_key = (n_steps, baseline_condition)
+        if not hasattr(self, "_eval_cache_ring"):
+            self._eval_cache_ring = {}
+        if cache_key not in self._eval_cache_ring:
+            A = self.env_cfg.n_buildings
+            S = ((self.env_cfg.time_steps - 1) if n_steps is None
+                 else int(n_steps))
+
+            def run(params, states, policy_params, reg_w, rng):
+                def policy_fn(p, st):
+                    tau = st.data_offset + st.t
+                    row = jnp.take(p.obs_static, tau, axis=0)   # (A, K_union)
+                    obs = jax.vmap(lambda e, col: encode_obs(e, col))(
+                        self.enc_stack, row)                     # (A, K0)
+                    cv0 = jnp.zeros((1, A, COORD_VARS), jnp.float32)
+                    acts, _ = self._coordination_ring(
+                        policy_params, obs[None], cv0, reg_w,
+                        jax.random.fold_in(rng, st.t), deterministic=True)
+                    acts_d = self._actions_dict(acts)            # (1, B) each
+                    return {k: v[0] for k, v in acts_d.items()}
+
+                def one(state):
+                    _, collected = collect_episode(self.env_cfg, params,
+                                                   state, policy_fn, S)
+                    return kpi_table(self.env_cfg, params, collected,
+                                     state.data_offset + state.t,
+                                     baseline_condition)
+
+                return jax.vmap(one)(states)
+
+            self._eval_cache_ring[cache_key] = jax.jit(run)
+
+        base = self.state.base
+        fresh = self._broadcast_initial(
+            self._draw_offsets(jax.random.fold_in(base.key, 1),
+                               self.cfg.n_districts))
+        return self._eval_cache_ring[cache_key](
+            self.params, fresh, base.nets.policy, self.state.reg_w,
+            jax.random.fold_in(base.key, 0))
