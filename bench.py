@@ -86,6 +86,33 @@ def _bench_scan_config(schema, D, episode_time_steps, reps, policy_keys,
     return D * S / elapsed, dict(D=D, S=S, B=cfg.n_buildings)
 
 
+def _bench_thermal_fast(schema, D, episode_time_steps, reps):
+    """district-steps/s of the whole-episode Pallas thermal kernel
+    (ops/pallas_thermal.py) on a 2021-family dataset."""
+    from citylearn_tpu.compiler.schema import compile_schema
+    from citylearn_tpu.core import rollout_fast
+    from citylearn_tpu.core.params import pack
+
+    spec = compile_schema(schema, random_seed=0, central_agent=False,
+                          episode_time_steps=episode_time_steps)
+    cfg, params, _ = pack(spec)
+    if not rollout_fast.eligible_thermal(cfg):
+        raise RuntimeError("not eligible for the thermal fast path")
+    S = cfg.time_steps - 1
+    tables = {
+        "cooling_storage": np.where(np.arange(1, 25) < 7, 0.05532,
+                                    np.where(np.arange(1, 25) < 16,
+                                             -0.02, 0.034)).astype(np.float32),
+        "dhw_storage": np.full(24, 0.02, np.float32),
+        "electrical_storage": np.where(np.arange(1, 25) < 9, 0.091,
+                                       -0.08).astype(np.float32),
+    }
+    run = lambda: np.asarray(
+        rollout_fast.run_thermal_episode(cfg, params, D, tables)[0])
+    elapsed = _timeit(run, reps)
+    return D * S / elapsed, dict(D=D, S=S, B=cfg.n_buildings, path="pallas")
+
+
 def _bench_train_step(schema, D, reps):
     """BatchedSAC train-step throughput: one fused collect+update step for
     D districts (replay writes + twin-Q/policy updates included)."""
@@ -139,27 +166,40 @@ def main():
     use_fast = (os.environ.get("BENCH_FAST", "1") != "0"
                 and rollout_fast.eligible(cfg)
                 and D % rollout_fast.TILE_D == 0)
-    times = None
-    if use_fast and os.environ.get("BENCH_FAST_CHILD") != "1":
+    is_child = os.environ.get("BENCH_FAST_CHILD") == "1"
+    child_result = None
+    if use_fast and not is_child:
         # the remote Mosaic compile service has variable latency; run the
-        # kernel path in a bounded subprocess and fall back to the XLA
-        # scan path if it does not report in time. The child prints the
-        # full JSON line (including the matrix).
+        # Pallas-kernel paths (headline battery + the thermal matrix row)
+        # in a bounded subprocess and fall back to the XLA scan if it does
+        # not report in time. The XLA matrix rows run in THIS process so a
+        # slow Mosaic service never doubles the total bench time.
         import subprocess
         import sys
+        import tempfile
 
-        budget = int(os.environ.get("BENCH_FAST_TIMEOUT", "900"))
-        env = dict(os.environ, BENCH_FAST_CHILD="1")
+        budget = int(os.environ.get("BENCH_FAST_TIMEOUT", "1800"))
+        with tempfile.NamedTemporaryFile("r", suffix=".jsonl",
+                                         delete=False) as tf:
+            child_out = tf.name
+        env = dict(os.environ, BENCH_FAST_CHILD="1", BENCH_CHILD_OUT=child_out)
         try:
-            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                  env=env, timeout=budget,
-                                  capture_output=True, text=True)
-            if proc.returncode == 0 and proc.stdout.strip():
-                print(proc.stdout.strip().splitlines()[-1])
-                return
+            subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, timeout=budget, capture_output=True,
+                           text=True)
         except subprocess.TimeoutExpired:
             pass
-        use_fast = False                   # fall through to the XLA path
+        # the child checkpoints a JSON snapshot after each Pallas kernel
+        # (headline battery, then the thermal matrix row), so a Mosaic
+        # compile blowing the budget still keeps the earlier results
+        try:
+            with open(child_out) as f:
+                lines = [ln for ln in f.read().splitlines() if ln.strip()]
+            if lines:
+                child_result = json.loads(lines[-1])
+        except (OSError, ValueError):
+            pass
+        use_fast = False       # this process always times via the XLA path
 
     # optional jax.profiler trace of one timed rep (SURVEY.md §5.1)
     profile_dir = os.environ.get("BENCH_PROFILE")
@@ -170,7 +210,10 @@ def main():
             with Profiler(profile_dir):
                 run_once()
 
-    if use_fast:
+    times = None
+    if child_result is not None:
+        pass                               # headline timed by the child
+    elif use_fast:
         run = lambda: np.asarray(
             rollout_fast.run_battery_episode(cfg, params, D, table)[0])
         run()
@@ -196,12 +239,25 @@ def main():
             t0 = time.perf_counter()
             run()
             times.append(time.perf_counter() - t0)
-    elapsed = min(times)
+    if child_result is not None:
+        steps_per_sec = float(child_result["value"])
+    else:
+        steps_per_sec = D * S / min(times)
 
-    steps_per_sec = D * S / elapsed
+    def _child_checkpoint(matrix):
+        path = os.environ.get("BENCH_CHILD_OUT")
+        if not path:
+            return
+        with open(path, "a") as f:
+            f.write(json.dumps({"value": round(steps_per_sec, 1),
+                                "matrix": matrix}) + "\n")
 
-    # ---- perf-envelope matrix (XLA scan path on the other families) ----
-    matrix = {}
+    if is_child:
+        _child_checkpoint({})
+
+    # ---- perf-envelope matrix. The child runs only the Pallas thermal
+    # row; the parent (or a no-fast run) covers the XLA rows. ----
+    matrix = dict((child_result or {}).get("matrix") or {})
     if os.environ.get("BENCH_MATRIX", "1") != "0":
         mreps = int(os.environ.get("BENCH_MATRIX_REPS", "2"))
         rows = [
@@ -213,24 +269,42 @@ def main():
              f"{DATASETS}/citylearn_challenge_2023_phase_1/schema.json",
              int(os.environ.get("BENCH_D_2023", "2048")), None,
              ("electrical_storage", "dhw_storage", "cooling_device")),
+            # D capped at 512: the 17-building + 8-charger config crashed
+            # the TPU worker at D=2048 (scale-triggered runtime fault in
+            # the gather/scatter-heavy EV program); 512 runs reliably
             ("evs_chargers_wm",
              f"{DATASETS}/citylearn_challenge_2022_phase_all_plus_evs/schema.json",
-             int(os.environ.get("BENCH_D_EVS", "2048")), None,
+             int(os.environ.get("BENCH_D_EVS", "512")), None,
              ("electrical_storage",)),
         ]
         for name, sch, d, ets, keys in rows:
+            if name in matrix and "district_steps_per_sec" in matrix[name]:
+                continue                       # covered by the child
             try:
-                sps, meta = _bench_scan_config(sch, d, ets, mreps, keys, table)
+                if name == "c2021_thermal" and is_child:
+                    # whole-episode Pallas thermal kernel, bounded by the
+                    # child's Mosaic budget like the battery kernel
+                    sps, meta = _bench_thermal_fast(sch, d, ets, mreps)
+                    matrix[name] = {"district_steps_per_sec": round(sps, 1),
+                                    **meta}
+                    _child_checkpoint(matrix)
+                    continue
+                elif is_child:
+                    continue                   # XLA rows run in the parent
+                else:
+                    sps, meta = _bench_scan_config(sch, d, ets, mreps, keys,
+                                                   table)
                 matrix[name] = {"district_steps_per_sec": round(sps, 1), **meta}
             except Exception as e:  # pragma: no cover - diagnostics only
                 matrix[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
-        try:
-            sps, meta = _bench_train_step(
-                schema, int(os.environ.get("BENCH_D_TRAIN", "1024")), mreps)
-            matrix["sac_train_step"] = {
-                "district_steps_per_sec": round(sps, 1), **meta}
-        except Exception as e:  # pragma: no cover
-            matrix["sac_train_step"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        if not is_child:
+            try:
+                sps, meta = _bench_train_step(
+                    schema, int(os.environ.get("BENCH_D_TRAIN", "1024")), mreps)
+                matrix["sac_train_step"] = {
+                    "district_steps_per_sec": round(sps, 1), **meta}
+            except Exception as e:  # pragma: no cover
+                matrix["sac_train_step"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     baseline = None
     ref = {}

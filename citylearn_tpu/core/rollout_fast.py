@@ -1,6 +1,7 @@
 """Fast-path episode dispatcher: route eligible configurations to the
-whole-episode Pallas kernel (:mod:`citylearn_tpu.ops.pallas_battery`),
-fall back to the general XLA scan otherwise."""
+whole-episode Pallas kernels (:mod:`citylearn_tpu.ops.pallas_battery` for
+battery+PV districts, :mod:`citylearn_tpu.ops.pallas_thermal` for the
+thermal 2021-family), fall back to the general XLA scan otherwise."""
 
 from __future__ import annotations
 
@@ -14,6 +15,10 @@ from citylearn_tpu.ops.pallas_battery import T_CHUNK, TILE_D, battery_episode
 
 B_PAD = 128   # TPU lane tiling: the building axis pads to one lane tile
 
+_REWARD_OK = ("RewardFunction", "IndependentSACReward")
+# IndependentSACReward min(-net, 0) == -max(net, 0) == the default reward
+# at exponent 1 (reward_function.py:65-88,159-168)
+
 
 def eligible(cfg: StaticConfig) -> bool:
     """Battery+PV-only districts with no outage/dynamics/EV/WM and the
@@ -23,6 +28,19 @@ def eligible(cfg: StaticConfig) -> bool:
             and not cfg.has_dynamics and not cfg.has_evs
             and not cfg.has_washing_machines and not cfg.any_outage
             and cfg.reward_type == "RewardFunction"
+            and cfg.reward_exponent == 1.0)
+
+
+def eligible_thermal(cfg: StaticConfig) -> bool:
+    """Cooling/DHW + battery districts (the 2021 challenge family):
+    thermal tanks and heat-pump/heater devices fused whole-episode; no
+    heating end-use, outage, dynamics, EVs, WMs or occupants."""
+    return ((cfg.any_cooling or cfg.any_dhw) and not cfg.any_heating
+            and not cfg.has_dynamics and not cfg.has_evs
+            and not cfg.has_washing_machines and not cfg.any_outage
+            and not cfg.has_occupant and not cfg.central_agent
+            and cfg.reward_per_building is None
+            and cfg.reward_type in _REWARD_OK
             and cfg.reward_exponent == 1.0)
 
 
@@ -103,6 +121,117 @@ def run_battery_episode(cfg: StaticConfig, params: DistrictParams,
         np.broadcast_to(pad_b(np.asarray(v))[None, :], (D, B_PAD)).copy())
     out = battery_episode(
         jnp.asarray(actions), series, bparams, curves,
+        tile(bat.initial_soc), tile(bat.efficiency), tile(bat.capacity),
+        n_steps=S, hours_ratio=cfg.seconds_per_time_step / 3600.0,
+        ratio=cfg.time_step_ratio, n_knots=n_knots, interpret=interpret)
+    return tuple(o[:, :B] for o in out)
+
+
+def _pad_b(arr, fill=0.0):
+    arr = np.asarray(arr, np.float32)
+    out = np.full(arr.shape[:-1] + (B_PAD,), fill, np.float32)
+    out[..., : arr.shape[-1]] = arr
+    return out
+
+
+def run_thermal_episode(cfg: StaticConfig, params: DistrictParams,
+                        n_districts: int, action_tables: dict,
+                        n_steps: Optional[int] = None,
+                        interpret: bool = False):
+    """Whole-episode rollout on the thermal kernel
+    (:func:`citylearn_tpu.ops.pallas_thermal.thermal_episode`) for
+    ``n_districts`` identical district copies under hour-indexed action
+    tables ``{action_name: (24,)}`` (cooling_storage / dhw_storage /
+    electrical_storage; missing keys act 0).
+
+    Returns (reward_sum, cost_sum, emission_sum, cooling_soc, dhw_soc,
+    battery_soc, battery_eff, battery_degraded), each (D, B)."""
+    from citylearn_tpu.ops.pallas_thermal import (
+        N_TROWS,
+        T_CHUNK as T_CHUNK_TH,
+        TILE_D as TILE_D_TH,
+        thermal_episode,
+    )
+
+    assert eligible_thermal(cfg), "configuration not eligible for the thermal fast path"
+    S = (cfg.time_steps - 1) if n_steps is None else n_steps
+    assert n_districts % TILE_D_TH == 0
+    B = params.battery.capacity.shape[0]
+    assert B <= B_PAD
+
+    ser = params.series
+    series_np = [_pad_b(np.asarray(x)) for x in (
+        ser.non_shiftable_load, ser.solar_generation, ser.electricity_pricing,
+        ser.carbon_intensity, ser.cooling_demand, ser.dhw_demand,
+        ser.outdoor_dry_bulb_temperature)]
+    t_pad = ((S + T_CHUNK_TH - 1) // T_CHUNK_TH) * T_CHUNK_TH
+    series = tuple(jnp.asarray(_pad_time(x, t_pad)) for x in series_np)
+
+    hours = np.asarray(ser.hour)[:S, 0]
+    actions = []
+    for k in ("cooling_storage", "dhw_storage", "electrical_storage"):
+        col = np.zeros(t_pad, np.float32)
+        tbl = action_tables.get(k)
+        if tbl is not None:
+            col[:S] = np.asarray(tbl, np.float32)[hours - 1]
+        actions.append(jnp.asarray(col))
+
+    bat = params.battery
+    bparams = jnp.asarray(np.stack([_pad_b(x) for x in (
+        bat.capacity, bat.nominal_power, bat.loss_coefficient,
+        bat.initial_soc, bat.depth_of_discharge, bat.capacity_loss_coefficient,
+        np.zeros(B), np.zeros(B))]))
+
+    def pad_curve_rows(x, identity):
+        arr = np.asarray(x, np.float32)
+        out = np.tile(identity[None, :].astype(np.float32), (B_PAD, 1))
+        out[:B] = arr
+        return jnp.asarray(out.T.copy())
+
+    P = bat.power_efficiency_curve_x.shape[1]
+    ident_x = np.concatenate([[0.0], np.ones(P - 1)])
+    curves = (pad_curve_rows(bat.power_efficiency_curve_x, ident_x),
+              pad_curve_rows(bat.power_efficiency_curve_y, np.ones(P)),
+              pad_curve_rows(bat.capacity_power_curve_x, ident_x),
+              pad_curve_rows(bat.capacity_power_curve_y, np.ones(P)))
+    n_knots = 2
+    for cx in (curves[0], curves[2]):
+        x = np.asarray(cx)
+        diffs = np.any(x[1:] != x[:-1], axis=1)
+        if diffs.any():
+            n_knots = max(n_knots, int(np.max(np.nonzero(diffs)[0])) + 2)
+    curves = tuple(c[:n_knots] for c in curves)
+
+    # thermal parameter rows (ops/pallas_thermal row order); pad columns
+    # carry inert defaults (efficiency 1, capacity 0, infinite power caps)
+    cd, dd = params.cooling_device, params.dhw_device
+    ct, dt = params.cooling_storage, params.dhw_storage
+    ht = params.heating_storage
+    rows = [
+        _pad_b(cd.nominal_power), _pad_b(cd.efficiency, 1.0),
+        _pad_b(cd.target_cooling_temperature),
+        _pad_b(np.asarray(cd.is_heat_pump, np.float32)),
+        _pad_b(dd.nominal_power), _pad_b(dd.efficiency, 1.0),
+        _pad_b(dd.target_heating_temperature),
+        _pad_b(np.asarray(dd.is_heat_pump, np.float32)),
+        _pad_b(ct.capacity), _pad_b(np.sqrt(np.asarray(ct.efficiency)), 1.0),
+        _pad_b(ct.loss_coefficient), _pad_b(ct.max_input_power, np.inf),
+        _pad_b(ct.max_output_power, np.inf),
+        _pad_b(ct.capacity),                       # cooling converts by itself
+        _pad_b(dt.capacity), _pad_b(np.sqrt(np.asarray(dt.efficiency)), 1.0),
+        _pad_b(dt.loss_coefficient), _pad_b(dt.max_input_power, np.inf),
+        _pad_b(dt.max_output_power, np.inf),
+        _pad_b(ht.capacity),                       # dhw quirk: building.py:1765
+    ]
+    assert len(rows) == N_TROWS
+    tparams = jnp.asarray(np.stack(rows))
+
+    D = n_districts
+    tile = lambda v: jnp.asarray(
+        np.broadcast_to(_pad_b(np.asarray(v))[None, :], (D, B_PAD)).copy())
+    out = thermal_episode(
+        tuple(actions), series, bparams, curves, tparams,
+        tile(ct.initial_soc), tile(dt.initial_soc),
         tile(bat.initial_soc), tile(bat.efficiency), tile(bat.capacity),
         n_steps=S, hours_ratio=cfg.seconds_per_time_step / 3600.0,
         ratio=cfg.time_step_ratio, n_knots=n_knots, interpret=interpret)
