@@ -32,7 +32,9 @@ import numpy as np
 
 
 def _timeit(run, reps):
-    run()                                   # compile + warm
+    run()                                   # compile
+    run()                                   # warm (first post-compile run
+    #                                         can be 2-3x slow on axon)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -217,6 +219,7 @@ def main():
         run = lambda: np.asarray(
             rollout_fast.run_battery_episode(cfg, params, D, table)[0])
         run()
+        run()                              # second warm-up (axon cold start)
         maybe_profile(run)
         times = []
         for _ in range(reps):
@@ -233,6 +236,7 @@ def main():
         episode_fn = jax.jit(jax.vmap(episode, in_axes=(None, 0)))
         run = lambda: np.asarray(episode_fn(params, states)[1]["reward_sum"])
         run()
+        run()                              # second warm-up (axon cold start)
         maybe_profile(run)
         times = []
         for _ in range(reps):
