@@ -12,10 +12,13 @@ Two paths for the headline config:
 - the general jitted vmap(scan) path otherwise (or BENCH_FAST=0).
 
 Matrix (VERDICT r2 #3 — the full perf envelope, not just the friendliest
-config; disable with BENCH_MATRIX=0): the XLA scan path on
-- citylearn_challenge_2021 (9 buildings, heat pumps + 3 thermal storages),
-- citylearn_challenge_2023_phase_1 (LSTM dynamics buildings),
-- citylearn_challenge_2022_phase_all_plus_evs (chargers + washing machine),
+config; disable with BENCH_MATRIX=0):
+- citylearn_challenge_2021 (9 buildings, heat pumps + 3 thermal storages)
+  on the whole-episode Pallas THERMAL kernel (ops/pallas_thermal.py),
+- citylearn_challenge_2023_phase_1 (LSTM dynamics) on the XLA scan,
+- citylearn_challenge_2022_phase_all_plus_evs (chargers + washing machine)
+  on the XLA scan — dispatch-bound at ~120 tiny fusions per step (see
+  README "Performance"); the path to >=1M here is a third kernel variant,
 plus a BatchedSAC train-step throughput row (env collect + replay + update).
 
 Baseline denominator: the reference CityLearn's measured single-env CPU
