@@ -118,6 +118,34 @@ def _bench_thermal_fast(schema, D, episode_time_steps, reps):
     return D * S / elapsed, dict(D=D, S=S, B=cfg.n_buildings, path="pallas")
 
 
+def _bench_ev_fast(schema, D, episode_time_steps, reps):
+    """district-steps/s of the whole-episode Pallas EV kernel
+    (ops/pallas_ev.py) on the plus_evs dataset."""
+    from citylearn_tpu.compiler.schema import compile_schema
+    from citylearn_tpu.core import rollout_fast
+    from citylearn_tpu.core.params import pack
+
+    spec = compile_schema(schema, random_seed=0, central_agent=False,
+                          episode_time_steps=episode_time_steps)
+    cfg, params, _ = pack(spec)
+    if not rollout_fast.eligible_ev(cfg):
+        raise RuntimeError("not eligible for the EV fast path")
+    S = cfg.time_steps - 1
+    hours = np.arange(1, 25)
+    tables = {
+        "electrical_storage": np.where(hours < 9, 0.091, -0.08
+                                       ).astype(np.float32),
+        "electric_vehicle_storage": np.select(
+            [hours < 7, hours < 10, hours < 15, hours < 20],
+            [0.4, 1.0, -1.0, -0.6], 0.8).astype(np.float32),
+        "washing_machine": np.ones(24, np.float32),
+    }
+    run = lambda: np.asarray(
+        rollout_fast.run_ev_episode(cfg, params, D, tables)[0])
+    elapsed = _timeit(run, reps)
+    return D * S / elapsed, dict(D=D, S=S, B=cfg.n_buildings, path="pallas")
+
+
 def _bench_train_step(schema, D, reps):
     """BatchedSAC train-step throughput: one fused collect+update step for
     D districts (replay writes + twin-Q/policy updates included)."""
@@ -292,6 +320,13 @@ def main():
                     # whole-episode Pallas thermal kernel, bounded by the
                     # child's Mosaic budget like the battery kernel
                     sps, meta = _bench_thermal_fast(sch, d, ets, mreps)
+                    matrix[name] = {"district_steps_per_sec": round(sps, 1),
+                                    **meta}
+                    _child_checkpoint(matrix)
+                    continue
+                elif name == "evs_chargers_wm" and is_child:
+                    sps, meta = _bench_ev_fast(sch, ((d + 255) // 256) * 256,
+                                               ets, mreps)
                     matrix[name] = {"district_steps_per_sec": round(sps, 1),
                                     **meta}
                     _child_checkpoint(matrix)

@@ -134,6 +134,190 @@ def _pad_b(arr, fill=0.0):
     return out
 
 
+def _pad_curves_rows(xs, ys, n: int, knots: Optional[int] = None):
+    """(N, P) knot curves -> knot-major (P, 128) with identity pad columns
+    and the trailing repeated knots trimmed (see run_battery_episode).
+    Pass ``knots`` to force a shared trim across curve pairs."""
+    P = np.asarray(xs).shape[1]
+    ident_x = np.concatenate([[0.0], np.ones(P - 1)])
+    out_x = np.tile(ident_x[None, :].astype(np.float32), (B_PAD, 1))
+    out_y = np.ones((B_PAD, P), np.float32)
+    out_x[:n] = np.asarray(xs, np.float32)
+    out_y[:n] = np.asarray(ys, np.float32)
+    cx, cy = out_x.T.copy(), out_y.T.copy()
+    if knots is None:
+        knots = 2
+        diffs = np.any(cx[1:] != cx[:-1], axis=1)
+        if diffs.any():
+            knots = max(knots, int(np.max(np.nonzero(diffs)[0])) + 2)
+    return jnp.asarray(cx[:knots]), jnp.asarray(cy[:knots]), knots
+
+
+def eligible_ev(cfg: StaticConfig) -> bool:
+    """Battery+PV buildings with EV chargers and washing machines (the
+    ``..._plus_evs`` configuration): no thermal end-uses, outage,
+    dynamics, occupants or charging constraints."""
+    return (cfg.has_evs and not cfg.any_cooling and not cfg.any_heating
+            and not cfg.any_dhw and not cfg.has_dynamics
+            and not cfg.any_outage and not cfg.has_occupant
+            and not cfg.has_charging_constraints and not cfg.central_agent
+            and cfg.reward_per_building is None
+            and (cfg.reward_type == "Electric_Vehicles_Reward_Function"
+                 or (cfg.reward_type in _REWARD_OK
+                     and cfg.reward_exponent == 1.0)))
+
+
+def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
+                   n_districts: int, action_tables: dict,
+                   n_steps: Optional[int] = None,
+                   interpret: bool = False):
+    """Whole-episode rollout on the EV kernel
+    (:func:`citylearn_tpu.ops.pallas_ev.ev_episode`) for ``n_districts``
+    identical district copies; ``action_tables``: hour-indexed (24,)
+    tables for ``electrical_storage`` / ``electric_vehicle_storage`` /
+    ``washing_machine`` (the per-step value broadcasts across chargers /
+    machines; missing keys act 0).
+
+    Returns (reward_sum, cost_sum, emission_sum, battery_soc, battery_eff,
+    battery_degraded, ev_soc, ev_eff, ev_degraded, wm_initiated) — the
+    first six (D, B), the EV triple (D, V), wm (D, W)."""
+    from citylearn_tpu.ops.pallas_ev import (
+        LANES,
+        N_CROWS,
+        N_EVROWS,
+        T_CHUNK as T_CHUNK_EV,
+        TILE_D as TILE_D_EV,
+        ev_episode,
+    )
+
+    assert eligible_ev(cfg), "configuration not eligible for the EV fast path"
+    S = (cfg.time_steps - 1) if n_steps is None else n_steps
+    assert n_districts % TILE_D_EV == 0
+    B = params.battery.capacity.shape[0]
+    C, V, W = cfg.n_chargers, cfg.n_evs, cfg.n_washing_machines
+    assert max(B, C, V, W) <= LANES
+
+    ser = params.series
+    ch = params.chargers
+    evp = params.evs
+    t_pad = ((S + T_CHUNK_EV - 1) // T_CHUNK_EV) * T_CHUNK_EV
+
+    def stream(arr, fill=0.0):
+        a = _pad_b(np.asarray(arr, np.float32), fill)
+        out = np.full((t_pad,) + a.shape[1:], fill, np.float32)
+        n = min(a.shape[0], t_pad)
+        out[:n] = a[:n]
+        return jnp.asarray(out)
+
+    series = (
+        stream(ser.non_shiftable_load), stream(ser.solar_generation),
+        stream(ser.electricity_pricing), stream(ser.carbon_intensity),
+        stream(np.asarray(ch.connected_ev, np.float32), -1.0),
+        stream(ch.required_soc), stream(ch.departure_time),
+        stream(np.asarray(evp.force_soc), np.nan),
+        stream(np.asarray(evp.drift_mult), np.nan),
+    )
+    if cfg.has_washing_machines:
+        wmp = params.washing_machines
+        series = series + (
+            stream(np.asarray(wmp.wm_start, np.float32), -1.0),
+            stream(np.asarray(wmp.wm_end, np.float32), -1.0),
+            stream(wmp.triggered_load))
+        wm_bidx = np.asarray(wmp.building_index)
+    else:
+        z = jnp.asarray(np.full((t_pad, LANES), -1.0, np.float32))
+        series = series + (z, z, jnp.asarray(np.zeros((t_pad, LANES), np.float32)))
+        wm_bidx = np.zeros((0,), np.int64)
+
+    hours = np.asarray(ser.hour)[:S, 0]
+    actions = []
+    for k in ("electrical_storage", "electric_vehicle_storage",
+              "washing_machine"):
+        col = np.zeros(t_pad, np.float32)
+        tbl = action_tables.get(k)
+        if tbl is not None:
+            col[:S] = np.asarray(tbl, np.float32)[hours - 1]
+        actions.append(jnp.asarray(col))
+
+    bat = params.battery
+    bparams = jnp.asarray(np.stack([_pad_b(x) for x in (
+        bat.capacity, bat.nominal_power, bat.loss_coefficient,
+        bat.initial_soc, bat.depth_of_discharge, bat.capacity_loss_coefficient,
+        np.zeros(B), np.zeros(B))]))
+    _, _, k1 = _pad_curves_rows(bat.power_efficiency_curve_x,
+                                bat.power_efficiency_curve_y, B)
+    _, _, k2 = _pad_curves_rows(bat.capacity_power_curve_x,
+                                bat.capacity_power_curve_y, B)
+    n_knots = max(k1, k2)
+    pcx, pcy, _ = _pad_curves_rows(bat.power_efficiency_curve_x,
+                                   bat.power_efficiency_curve_y, B, n_knots)
+    ccx, ccy, _ = _pad_curves_rows(bat.capacity_power_curve_x,
+                                   bat.capacity_power_curve_y, B, n_knots)
+    curves = (pcx, pcy, ccx, ccy)
+
+    cparams = np.zeros((N_CROWS, LANES), np.float32)
+    cparams[0, :C] = np.asarray(ch.max_charging_power)
+    cparams[1, :C] = np.asarray(ch.min_charging_power)
+    cparams[2, :C] = np.asarray(ch.max_discharging_power)
+    cparams[3, :C] = np.asarray(ch.min_discharging_power)
+    _, _, k3 = _pad_curves_rows(ch.charge_eff_x, ch.charge_eff_y, C)
+    _, _, k4 = _pad_curves_rows(ch.discharge_eff_x, ch.discharge_eff_y, C)
+    ch_knots = max(k3, k4)
+    hcx, hcy, _ = _pad_curves_rows(ch.charge_eff_x, ch.charge_eff_y, C, ch_knots)
+    hdx, hdy, _ = _pad_curves_rows(ch.discharge_eff_x, ch.discharge_eff_y, C,
+                                   ch_knots)
+    ch_curves = (hcx, hcy, hdx, hdy)
+
+    eb = evp.battery
+    evparams = np.zeros((N_EVROWS, LANES), np.float32)
+    for row, v in enumerate((eb.capacity, eb.nominal_power,
+                             eb.loss_coefficient, eb.initial_soc,
+                             eb.depth_of_discharge,
+                             eb.capacity_loss_coefficient)):
+        evparams[row, :V] = np.asarray(v)
+    _, _, k5 = _pad_curves_rows(eb.power_efficiency_curve_x,
+                                eb.power_efficiency_curve_y, V)
+    _, _, k6 = _pad_curves_rows(eb.capacity_power_curve_x,
+                                eb.capacity_power_curve_y, V)
+    ev_knots = max(k5, k6)
+    epx, epy, _ = _pad_curves_rows(eb.power_efficiency_curve_x,
+                                   eb.power_efficiency_curve_y, V, ev_knots)
+    ecx, ecy, _ = _pad_curves_rows(eb.capacity_power_curve_x,
+                                   eb.capacity_power_curve_y, V, ev_knots)
+    ev_curves = (epx, epy, ecx, ecy)
+
+    def onehot_rows(idx, n_rows):
+        out = np.zeros((LANES, LANES), np.float32)
+        for i, b in enumerate(np.asarray(idx)):
+            if i < n_rows:
+                out[i, int(b)] = 1.0
+        return jnp.asarray(out)
+
+    ch_bld = onehot_rows(np.asarray(ch.building_index), C)
+    wm_bld = onehot_rows(wm_bidx, W)
+
+    D = n_districts
+    tile = lambda v, n: jnp.asarray(np.broadcast_to(
+        _pad_b(np.asarray(v))[None, :], (D, LANES)).copy())
+    state0 = (tile(bat.initial_soc, B), tile(bat.efficiency, B),
+              tile(bat.capacity, B),
+              tile(eb.initial_soc, V), tile(eb.efficiency, V),
+              tile(eb.capacity, V),
+              jnp.zeros((D, LANES), jnp.float32))
+
+    out = ev_episode(
+        tuple(actions), series, bparams, curves,
+        jnp.asarray(cparams), ch_curves, jnp.asarray(evparams), ev_curves,
+        ch_bld, wm_bld, state0,
+        n_steps=S, hours_ratio=cfg.seconds_per_time_step / 3600.0,
+        ratio=cfg.time_step_ratio, n_knots=n_knots, ev_knots=ev_knots,
+        ch_knots=ch_knots, ev_weights=tuple(cfg.ev_reward_weights),
+        use_ev_reward=(cfg.reward_type == "Electric_Vehicles_Reward_Function"),
+        interpret=interpret)
+    slices = (B, B, B, B, B, B, V, V, V, max(W, 1))
+    return tuple(o[:, :n] for o, n in zip(out, slices))
+
+
 def run_thermal_episode(cfg: StaticConfig, params: DistrictParams,
                         n_districts: int, action_tables: dict,
                         n_steps: Optional[int] = None,

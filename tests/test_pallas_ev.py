@@ -1,0 +1,117 @@
+"""The whole-episode Pallas EV kernel must agree with the general XLA
+scan path on its eligible configuration (battery+PV buildings + EV
+chargers + washing machines; reference ``electric_vehicle_charger.py``,
+``energy_model.py:1027-1398``, ``reward_function.py:389-517``).
+
+Runs in Pallas interpret mode on CPU; on real TPU hardware the same
+dispatch is exercised by ``bench.py``."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from citylearn_tpu.compiler.schema import compile_schema
+from citylearn_tpu.core import rollout_fast
+from citylearn_tpu.core.params import pack
+from citylearn_tpu.core.rollout import (
+    ACTION_KEYS,
+    batched_initial_states,
+    rollout_scripted,
+)
+
+SCHEMA = ("/root/reference/data/datasets/"
+          "citylearn_challenge_2022_phase_all_plus_evs/schema.json")
+
+TABLES = {
+    # BasicElectricVehicleRBC-flavored maps (agents/rbc.py:426-515)
+    "electrical_storage": np.where(np.arange(1, 25) < 9, 0.091, -0.08
+                                   ).astype(np.float32),
+    "electric_vehicle_storage": np.select(
+        [np.arange(1, 25) < 7, np.arange(1, 25) < 10, np.arange(1, 25) < 15,
+         np.arange(1, 25) < 20],
+        [0.4, 1.0, -1.0, -0.6], 0.8).astype(np.float32),
+    "washing_machine": np.ones(24, np.float32),
+}
+
+
+@pytest.fixture(scope="module")
+def env():
+    spec = compile_schema(SCHEMA, random_seed=0, central_agent=False,
+                          episode_time_steps=168)
+    cfg, params, _ = pack(spec)
+    return cfg, params
+
+
+def test_eligibility(env):
+    cfg, _ = env
+    assert rollout_fast.eligible_ev(cfg)
+    assert not rollout_fast.eligible(cfg)
+    assert not rollout_fast.eligible_thermal(cfg)
+
+
+def test_ev_kernel_matches_xla_scan(env):
+    cfg, params = env
+    from citylearn_tpu.ops.pallas_ev import TILE_D
+    D = TILE_D
+    S = cfg.time_steps - 1
+    B = cfg.n_buildings
+
+    hours = np.asarray(params.series.hour)[:S, 0]
+    action_series = np.zeros((S, len(ACTION_KEYS), B), np.float32)
+    action_series[:, ACTION_KEYS.index("electrical_storage"), :] = \
+        TABLES["electrical_storage"][hours - 1][:, None]
+    extra = {
+        "electric_vehicle_storage": np.broadcast_to(
+            TABLES["electric_vehicle_storage"][hours - 1][:, None],
+            (S, cfg.n_chargers)).copy(),
+        "washing_machine": np.broadcast_to(
+            TABLES["washing_machine"][hours - 1][:, None],
+            (S, cfg.n_washing_machines)).copy(),
+    }
+
+    st1 = batched_initial_states(cfg, params, 1)
+    st1 = jax.tree_util.tree_map(lambda x: x[0], st1)
+
+    def run(p, s, a, ev_a, wm_a):
+        from citylearn_tpu.core.rollout import actions_dict_from_array
+        from citylearn_tpu.core.step import district_step
+
+        def body(carry, xs):
+            st, rs, cs, es = carry
+            a_t, ev_t, wm_t = xs
+            acts = actions_dict_from_array(a_t)
+            acts["electric_vehicle_storage"] = ev_t
+            acts["washing_machine"] = wm_t
+            st, out = district_step(cfg, p, st, acts)
+            return (st, rs + out.reward,
+                    cs + out.net_electricity_consumption_cost,
+                    es + out.net_electricity_consumption_emission), None
+
+        z = jnp.zeros((cfg.n_buildings,), jnp.float32)
+        (st, rs, cs, es), _ = jax.lax.scan(
+            body, (s, z, z, z), (a, ev_a, wm_a))
+        return st, rs, cs, es
+
+    out_state, xla_reward, xla_cost, xla_emission = jax.jit(run)(
+        params, st1, jnp.asarray(action_series),
+        jnp.asarray(extra["electric_vehicle_storage"]),
+        jnp.asarray(extra["washing_machine"]))
+    xla_reward = np.asarray(xla_reward)
+    xla_cost = np.asarray(xla_cost)
+    xla_emission = np.asarray(xla_emission)
+
+    (rew, cost, emis, soc, eff, deg, evsoc, eveff, evdeg, wmi) = \
+        rollout_fast.run_ev_episode(cfg, params, D, TABLES, interpret=True)
+    rew, cost, emis = map(np.asarray, (rew, cost, emis))
+
+    np.testing.assert_array_equal(rew[0], rew[-1])      # identical copies
+    np.testing.assert_allclose(np.asarray(soc)[0],
+                               np.asarray(out_state.battery_soc),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(evsoc)[0],
+                               np.asarray(out_state.ev_soc), rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(cost[0], xla_cost, rtol=2e-6, atol=1e-3)
+    np.testing.assert_allclose(emis[0], xla_emission, rtol=2e-6, atol=1e-3)
+    np.testing.assert_allclose(rew[0], xla_reward, rtol=2e-5, atol=1e-3)
