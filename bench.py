@@ -17,8 +17,9 @@ config; disable with BENCH_MATRIX=0):
   on the whole-episode Pallas THERMAL kernel (ops/pallas_thermal.py),
 - citylearn_challenge_2023_phase_1 (LSTM dynamics) on the XLA scan,
 - citylearn_challenge_2022_phase_all_plus_evs (chargers + washing machine)
-  on the XLA scan — dispatch-bound at ~120 tiny fusions per step (see
-  README "Performance"); the path to >=1M here is a third kernel variant,
+  on the whole-episode Pallas EV kernel (ops/pallas_ev.py), run in the
+  Pallas child process like the other two kernels, with the XLA scan as
+  the parent-process fallback,
 plus a BatchedSAC train-step throughput row (env collect + replay + update).
 
 Baseline denominator: the reference CityLearn's measured single-env CPU
@@ -116,6 +117,35 @@ def _bench_thermal_fast(schema, D, episode_time_steps, reps):
         rollout_fast.run_thermal_episode(cfg, params, D, tables)[0])
     elapsed = _timeit(run, reps)
     return D * S / elapsed, dict(D=D, S=S, B=cfg.n_buildings, path="pallas")
+
+
+def _bench_eval_fast(schema, D, episode_time_steps, reps):
+    """district-steps/s of the USER-FACING kernel-backed evaluation
+    (core/evaluate_fast.evaluate_scripted): whole-episode Pallas battery
+    kernel with per-step series recording + the full normalized KPI-table
+    assembly — the reference's evaluate() (citylearn.py:1136-1323) served
+    end-to-end at kernel speed."""
+    import jax
+    import jax.numpy as jnp
+
+    from citylearn_tpu.compiler.schema import compile_schema
+    from citylearn_tpu.core.evaluate_fast import (
+        ScriptedPolicy,
+        evaluate_scripted,
+    )
+    from citylearn_tpu.core.params import pack
+
+    spec = compile_schema(schema, random_seed=0, central_agent=False,
+                          episode_time_steps=episode_time_steps)
+    cfg, params, _ = pack(spec)
+    S = cfg.time_steps - 1
+    policy = ScriptedPolicy({"electrical_storage": np.where(
+        np.arange(1, 25) < 9, 0.091, -0.08).astype(np.float32)})
+    run = lambda: np.asarray(evaluate_scripted(
+        cfg, params, policy, n_districts=D)["district|cost_total"])
+    elapsed = _timeit(run, reps)
+    return D * S / elapsed, dict(D=D, S=S, B=cfg.n_buildings,
+                                 path="pallas+kpi")
 
 
 def _bench_ev_fast(schema, D, episode_time_steps, reps):
@@ -217,21 +247,27 @@ def main():
             child_out = tf.name
         env = dict(os.environ, BENCH_FAST_CHILD="1", BENCH_CHILD_OUT=child_out)
         try:
-            subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           env=env, timeout=budget, capture_output=True,
-                           text=True)
-        except subprocess.TimeoutExpired:
-            pass
-        # the child checkpoints a JSON snapshot after each Pallas kernel
-        # (headline battery, then the thermal matrix row), so a Mosaic
-        # compile blowing the budget still keeps the earlier results
-        try:
-            with open(child_out) as f:
-                lines = [ln for ln in f.read().splitlines() if ln.strip()]
-            if lines:
-                child_result = json.loads(lines[-1])
-        except (OSError, ValueError):
-            pass
+            try:
+                subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, timeout=budget, capture_output=True,
+                               text=True)
+            except subprocess.TimeoutExpired:
+                pass
+            # the child checkpoints a JSON snapshot after each Pallas kernel
+            # (headline battery, then the thermal matrix row), so a Mosaic
+            # compile blowing the budget still keeps the earlier results
+            try:
+                with open(child_out) as f:
+                    lines = [ln for ln in f.read().splitlines() if ln.strip()]
+                if lines:
+                    child_result = json.loads(lines[-1])
+            except (OSError, ValueError):
+                pass
+        finally:
+            try:
+                os.unlink(child_out)
+            except OSError:
+                pass
         use_fast = False       # this process always times via the XLA path
 
     # optional jax.profiler trace of one timed rep (SURVEY.md §5.1)
@@ -311,6 +347,12 @@ def main():
              f"{DATASETS}/citylearn_challenge_2022_phase_all_plus_evs/schema.json",
              int(os.environ.get("BENCH_D_EVS", "512")), None,
              ("electrical_storage",)),
+            # USER-FACING kernel-backed evaluate (full KPI table), not
+            # just the raw kernel — the VERDICT r3 #1 product surface
+            ("eval_fast",
+             f"{DATASETS}/citylearn_challenge_2022_phase_1/schema.json",
+             int(os.environ.get("BENCH_D_EVAL", "2048")), 8760,
+             ("electrical_storage",)),
         ]
         for name, sch, d, ets, keys in rows:
             if name in matrix and "district_steps_per_sec" in matrix[name]:
@@ -331,8 +373,16 @@ def main():
                                     **meta}
                     _child_checkpoint(matrix)
                     continue
+                elif name == "eval_fast" and is_child:
+                    sps, meta = _bench_eval_fast(sch, d, ets, mreps)
+                    matrix[name] = {"district_steps_per_sec": round(sps, 1),
+                                    **meta}
+                    _child_checkpoint(matrix)
+                    continue
                 elif is_child:
                     continue                   # XLA rows run in the parent
+                elif name == "eval_fast":
+                    continue                   # Pallas-only row (child)
                 else:
                     sps, meta = _bench_scan_config(sch, d, ets, mreps, keys,
                                                    table)
@@ -358,7 +408,8 @@ def main():
         baseline = ref.get("p1_scripted_year") or ref.get("p1_scripted_168")
     for name, key in [("c2021_thermal", "c2021_scripted_year"),
                       ("c2023p1_lstm", "c2023_scripted_year"),
-                      ("evs_chargers_wm", "evs_scripted_year")]:
+                      ("evs_chargers_wm", "evs_scripted_year"),
+                      ("eval_fast", "p1_scripted_year")]:
         den = ref.get(key)
         row = matrix.get(name)
         if den and row and "district_steps_per_sec" in row:

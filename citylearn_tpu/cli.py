@@ -183,7 +183,17 @@ class Simulator:
 
     @classmethod
     def evaluate(cls, evaluation_episode_time_steps=None, _existing=None,
-                 **kwargs):
+                 fast: bool = False, **kwargs):
+        """Deterministic evaluation episode + KPI/time-series JSON.
+
+        ``fast=True`` routes kernel-eligible configurations under
+        open-loop agents (hour-RBC family, Baseline) through the
+        whole-episode Pallas kernels
+        (:mod:`citylearn_tpu.core.evaluate_fast`): the episode is ONE
+        kernel launch instead of T host-driven env steps. The KPI pivot
+        is the full normalized table; the exported time series are
+        limited to the kernel-recorded streams (net consumption, storage
+        SOCs/consumptions, device outputs)."""
         if _existing is None:
             if evaluation_episode_time_steps is not None:
                 kwargs.setdefault("env_kwargs", {})
@@ -193,12 +203,23 @@ class Simulator:
         else:
             sim = _existing
         sim._timestamps["evaluation_start"] = time.time()
-        sim.agent.learn(episodes=1, deterministic=True)
+        if fast:
+            summary = sim._fast_evaluation_summary()
+        else:
+            sim.agent.learn(episodes=1, deterministic=True)
+            summary = None
         sim._timestamps["evaluation_end"] = time.time()
+        if summary is None:
+            summary = sim._evaluation_summary()
+        else:
+            summary["evaluation_start_timestamp"] = \
+                sim._timestamps.get("evaluation_start")
+            summary["evaluation_end_timestamp"] = \
+                sim._timestamps.get("evaluation_end")
         path = os.path.join(sim.output_directory,
                             f"{sim.simulation_id}-evaluation.json")
         with open(path, "w") as f:
-            json.dump(sim._evaluation_summary(), f, indent=2, default=float)
+            json.dump(summary, f, indent=2, default=float)
         return sim
 
     # ------------------------------------------------------------------
@@ -228,8 +249,11 @@ class Simulator:
         """Dotted-path variable resolution over the live building views
         (reference ``__main__.py:212-237``): each entry of
         ``time_series_variables`` walks ``getattr`` segments on the
-        building (``cooling_storage.soc`` etc.); missing segments keep the
-        last resolved value, like the reference's silent ``pass``."""
+        building (``cooling_storage.soc`` etc.). Only fully-resolved leaf
+        arrays are exported — a deliberate divergence from the reference,
+        whose silent ``pass`` carries the *previous* variable's value into
+        a column whose path fails partway (and exports intermediate
+        container objects on partial resolution)."""
         env = self._unwrapped()
         n = env.time_step + 1
         out = {}
@@ -237,17 +261,116 @@ class Simulator:
             series = {}
             for variable in self.time_series_variables:
                 key = b
-                value = None
+                resolved = True
                 for seg in variable.split("."):
                     if hasattr(key, seg):
-                        value = getattr(key, seg)
-                        key = value
-                if value is None:
+                        key = getattr(key, seg)
+                    else:
+                        resolved = False
+                        break
+                if not resolved:
                     continue
-                arr = np.asarray(value, np.float64)[:n]
+                arr = np.asarray(key, np.float64)[:n]
                 series[variable.replace(".", "_")] = arr.tolist()
             out[b.name] = series
         return out
+
+    def _fast_evaluation_summary(self):
+        """KPI pivot + kernel-recorded time series from ONE whole-episode
+        Pallas kernel launch (no host-driven stepping). Requires a
+        kernel-eligible configuration and an open-loop agent."""
+        from citylearn_tpu.agents.base import BaselineAgent
+        from citylearn_tpu.agents.rbc import HourRBC
+        from citylearn_tpu.core.evaluate_fast import (
+            ScriptedPolicy,
+            evaluate_scripted,
+            kernel_family,
+        )
+
+        env = self._unwrapped()
+        cfg, params = env.cfg, env.params
+        family = kernel_family(cfg)
+        if family is None:
+            raise ValueError(
+                "--fast requires a kernel-eligible configuration "
+                "(battery+PV or thermal family, no outage/dynamics/EVs); "
+                "run without --fast for the general path")
+        agent = self.agent
+        if isinstance(agent, HourRBC) and agent.action_map is not None:
+            policy = ScriptedPolicy.from_hour_rbc(agent, cfg.n_buildings)
+        elif isinstance(agent, BaselineAgent):
+            policy = ScriptedPolicy({})
+        else:
+            raise ValueError(
+                "--fast requires an open-loop agent (hour-RBC family or "
+                "Baseline); closed-loop policies need the general path")
+
+        table, rec = evaluate_scripted(cfg, params, policy,
+                                       return_series=True)
+        rec = np.asarray(rec, np.float64)
+
+        names = [b.name for b in env.buildings]
+        pivot = {}
+        for key, v in table.items():
+            level, kpi = key.split("|")
+            v = np.asarray(v, np.float64)
+            d = pivot.setdefault(kpi, {})
+            if level == "building":
+                for i, n in enumerate(names):
+                    x = float(v[i])
+                    d[n] = None if np.isnan(x) else x
+            else:
+                x = float(v)
+                d["District"] = None if np.isnan(x) else x
+
+        # time series: kernel-recorded control streams; the final,
+        # never-written episode row reads 0 like the host's preallocated
+        # arrays (envs/views.py _hist semantics)
+        ser = params.series
+        S = rec.shape[1]
+        fin = lambda col: np.concatenate([col, [0.0]]).tolist()
+        series_out = {}
+        for i, n in enumerate(names):
+            if family == "battery":
+                net, bal, soc = rec[0, :, i], rec[1, :, i], rec[2, :, i]
+                cols = {
+                    "net_electricity_consumption": fin(net),
+                    "electrical_storage_electricity_consumption":
+                        fin(np.concatenate([[2 * bal[0]], bal[1:]])),
+                    "electrical_storage_soc": fin(soc),
+                    "energy_from_electrical_storage":
+                        fin(np.maximum(-bal, 0.0)),
+                    "energy_to_electrical_storage":
+                        fin(np.maximum(bal, 0.0)),
+                }
+            else:
+                from citylearn_tpu.ops.pallas_thermal import (
+                    R_BBAL, R_BSOC, R_CBAL, R_COUT, R_CSOC, R_DBAL, R_DOUT,
+                    R_DSOC, R_NET)
+                bal = rec[R_BBAL, :, i]
+                cols = {
+                    "net_electricity_consumption": fin(rec[R_NET, :, i]),
+                    "electrical_storage_electricity_consumption":
+                        fin(np.concatenate([[2 * bal[0]], bal[1:]])),
+                    "electrical_storage_soc": fin(rec[R_BSOC, :, i]),
+                    "cooling_storage_soc": fin(rec[R_CSOC, :, i]),
+                    "dhw_storage_soc": fin(rec[R_DSOC, :, i]),
+                    "energy_from_cooling_device": fin(rec[R_COUT, :, i]),
+                    "energy_from_dhw_device": fin(rec[R_DOUT, :, i]),
+                    "energy_from_cooling_storage":
+                        fin(np.maximum(-rec[R_CBAL, :, i], 0.0)),
+                    "energy_from_dhw_storage":
+                        fin(np.maximum(-rec[R_DBAL, :, i], 0.0)),
+                }
+            cols["non_shiftable_load"] = np.asarray(
+                ser.non_shiftable_load, np.float64)[:S + 1, i].tolist()
+            series_out[n] = cols
+
+        return {
+            "simulation_id": self.simulation_id,
+            "kpis": pivot,
+            "time_series": series_out,
+        }
 
     def _evaluation_summary(self):
         env = self._unwrapped()
@@ -312,6 +435,9 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("-fa", "--agent_filepath", default=None)
     p.add_argument("--evaluate", action="store_true")
     p.add_argument("--save_agent", action="store_true")
+    p.add_argument("--fast", action="store_true",
+                   help="evaluate on the whole-episode Pallas kernel "
+                        "(kernel-eligible configs + open-loop agents only)")
 
     args = parser.parse_args(argv)
     if args.command == "list_datasets":
@@ -330,7 +456,7 @@ def main(argv: Optional[List[str]] = None):
             Simulator.train(episodes=args.episodes, evaluate=args.evaluate,
                             save_agent=args.save_agent, **common)
         else:
-            Simulator.evaluate(**common)
+            Simulator.evaluate(fast=args.fast, **common)
 
 
 if __name__ == "__main__":

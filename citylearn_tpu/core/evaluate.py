@@ -14,12 +14,12 @@ all-time peak; per-building electricity_consumption_total,
 zero_net_energy, carbon_emissions_total, cost_total, the discomfort
 9-tuple, one-minus-thermal-resilience and power-outage/annual normalized
 unserved energy. Baselines = ``without_storage[_and_partial_load][_and_pv]``
-counterfactuals (``building.py:308-476,2863-2933``). One deliberate
-simplification vs the host path: the final *unwritten* row's setpoints
-come from the data series (the host patches in a live occupant override
-when one is active, ``envs/environment.py:_sync_unwritten_row``); no
-bundled occupant dataset is evaluated batched, so the row is identical
-in practice.
+counterfactuals (``building.py:308-476,2863-2933``). The final
+*unwritten* row matches the host path exactly, including the live
+occupant setpoint override patch
+(``envs/environment.py:_sync_unwritten_row``) applied from the carried
+``final_state`` — pinned batched-vs-host on the synthesized
+``quebec_occ`` dataset in ``tests/test_evaluate_batched.py``.
 """
 
 from __future__ import annotations
@@ -87,8 +87,8 @@ def collect_episode(cfg: StaticConfig, params: DistrictParams,
 
 def kpi_table(cfg: StaticConfig, params: DistrictParams,
               collected: Dict[str, jnp.ndarray], start_tau: jnp.ndarray,
-              baseline_condition: str = "_without_storage"
-              ) -> Dict[str, jnp.ndarray]:
+              baseline_condition: str = "_without_storage",
+              final_state: EnvState = None) -> Dict[str, jnp.ndarray]:
     """Normalized KPI dict for ONE district from collected (S, B) series.
 
     Reproduces the host ``evaluate()`` including its series-length quirk:
@@ -171,12 +171,19 @@ def kpi_table(cfg: StaticConfig, params: DistrictParams,
     # are raw (un-normalized) values like the host table ----
     indoor = jnp.concatenate(
         [collected["indoor_t"], win(ser.indoor_dry_bulb_temperature)[-1:]], axis=0)
-    csp = jnp.concatenate(
-        [collected["cooling_sp"],
-         win(ser.indoor_dry_bulb_temperature_cooling_set_point)[-1:]], axis=0)
-    hsp = jnp.concatenate(
-        [collected["heating_sp"],
-         win(ser.indoor_dry_bulb_temperature_heating_set_point)[-1:]], axis=0)
+    csp_end = win(ser.indoor_dry_bulb_temperature_cooling_set_point)[-1:]
+    hsp_end = win(ser.indoor_dry_bulb_temperature_heating_set_point)[-1:]
+    if cfg.has_occupant and final_state is not None:
+        # the host patches the final UNWRITTEN row's setpoints with the
+        # live occupant override when one is active
+        # (envs/environment._sync_unwritten_row; reference occupant
+        # mutation building.py:3248-3353 mutates the series from t on)
+        csp_end = jnp.where(jnp.isfinite(final_state.occ_csp_override),
+                            final_state.occ_csp_override, csp_end)
+        hsp_end = jnp.where(jnp.isfinite(final_state.occ_hsp_override),
+                            final_state.occ_hsp_override, hsp_end)
+    csp = jnp.concatenate([collected["cooling_sp"], csp_end], axis=0)
+    hsp = jnp.concatenate([collected["heating_sp"], hsp_end], axis=0)
     band_w = win(ser.comfort_band)
     occ_w = win(ser.occupant_count)
     outage_w = win(ser.power_outage)
@@ -242,7 +249,8 @@ def evaluate_districts_fn(cfg: StaticConfig, policy_fn: Callable,
         def one(state):
             st, collected = collect_episode(cfg, params, state, policy_fn, S)
             return kpi_table(cfg, params, collected,
-                             state.data_offset + state.t, baseline_condition)
+                             state.data_offset + state.t, baseline_condition,
+                             final_state=st)
 
         return jax.vmap(one)(states)
 
@@ -257,6 +265,31 @@ def evaluate_districts(cfg: StaticConfig, params: DistrictParams,
     """One-shot jitted KPI tables for a (D, ...) batch of districts.
     Returns ``building|<kpi>`` -> (D, B) and ``district|<kpi>`` -> (D,)
     arrays. For repeated evaluation, jit :func:`evaluate_districts_fn`
-    once instead."""
+    once instead.
+
+    When ``policy_fn`` is a :class:`citylearn_tpu.core.evaluate_fast.ScriptedPolicy`
+    (an open-loop plan — hour-RBC tables or per-building per-step arrays)
+    and the configuration is kernel-eligible with fresh identical states,
+    the episode runs as ONE whole-episode Pallas kernel launch with
+    per-step series recording instead of the XLA scan — same table,
+    kernel speed."""
+    from citylearn_tpu.core.evaluate_fast import (
+        ScriptedPolicy,
+        evaluate_scripted,
+        kernel_family,
+    )
+
+    if isinstance(policy_fn, ScriptedPolicy):
+        D = states.t.shape[0]
+        fresh = (bool(jnp.all(states.t == 0))
+                 and bool(jnp.all(states.data_offset == 0)))
+        if kernel_family(cfg) is not None and fresh:
+            table = evaluate_scripted(cfg, params, policy_fn, n_steps,
+                                      baseline_condition)
+            # identical fresh districts -> identical tables; broadcast
+            return {k: jnp.broadcast_to(v, (D,) + v.shape)
+                    for k, v in table.items()}
+        S = (cfg.time_steps - 1) if n_steps is None else int(n_steps)
+        policy_fn = policy_fn.as_policy_fn(cfg, params, S)
     run = evaluate_districts_fn(cfg, policy_fn, n_steps, baseline_condition)
     return jax.jit(run)(params, states)

@@ -1,0 +1,247 @@
+"""Kernel-backed batched evaluation: the user-facing KPI table served by
+the whole-episode Pallas kernels.
+
+The reference's ``evaluate()`` (``citylearn.py:1136-1323``) consumes the
+per-step series the env accumulated while stepping. Here, for
+kernel-eligible configurations (battery+PV 2022 family, thermal 2021
+family) under an *open-loop* policy (hour-indexed RBC tables or arbitrary
+per-building per-step plans), the episode runs as ONE Pallas kernel
+launch with per-step series recording
+(:mod:`citylearn_tpu.ops.pallas_battery` / ``pallas_thermal`` with
+``record=True``); every other KPI input for those configurations is
+data-driven, so the recorded (net, balances, SOCs, outputs) streams are
+sufficient to assemble the exact ``collected`` dict of
+:func:`citylearn_tpu.core.evaluate.collect_episode` and reuse
+:func:`citylearn_tpu.core.evaluate.kpi_table` unchanged — the full
+normalized building + district KPI table at kernel speed.
+
+Dispatch surfaces:
+- :func:`citylearn_tpu.core.evaluate.evaluate_districts` routes here when
+  handed a :class:`ScriptedPolicy` on an eligible config;
+- ``BatchedSAC.evaluate(policy=ScriptedPolicy(...))``;
+- ``citylearn-tpu simulate <schema> evaluate --fast`` for hour-RBC agents.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from citylearn_tpu.core import hvac
+from citylearn_tpu.core import rollout_fast
+from citylearn_tpu.core.rollout import ACTION_KEYS
+from citylearn_tpu.core.types import DistrictParams, StaticConfig
+
+#: action names a scripted plan may script, per kernel family
+BATTERY_KEYS = ("electrical_storage",)
+THERMAL_KEYS = ("cooling_storage", "dhw_storage", "electrical_storage")
+
+
+class ScriptedPolicy:
+    """An open-loop action plan: ``{action_name: (24,) hour table | (S,)
+    per-step series | (S, B) per-building plan}``.
+
+    Scripted policies are state-independent, which is what lets the
+    whole-episode kernels serve them; they also act as ordinary
+    in-graph policies on the XLA scan path via :meth:`as_policy_fn`
+    (the fallback for non-eligible configurations)."""
+
+    def __init__(self, plans: Dict[str, np.ndarray]):
+        unknown = set(plans) - set(ACTION_KEYS)
+        if unknown:
+            raise ValueError(f"unknown action names: {sorted(unknown)}")
+        self.plans = {k: np.asarray(v, np.float32) for k, v in plans.items()}
+
+    @classmethod
+    def from_hour_rbc(cls, agent, n_buildings: int) -> "ScriptedPolicy":
+        """Build (24, B) plans from an :class:`citylearn_tpu.agents.rbc.HourRBC`
+        agent's resolved per-building hour maps (reference
+        ``agents/rbc.py:80-136``)."""
+        plans: Dict[str, np.ndarray] = {}
+        maps = agent.action_map
+        names_per_agent = agent.action_names
+        for b, (m, names) in enumerate(zip(maps, names_per_agent)):
+            for name in names:
+                key = name if name in ACTION_KEYS else None
+                if key is None:
+                    continue
+                table = m.get(name)
+                if table is None:
+                    continue
+                col = np.asarray([table[h] for h in range(1, 25)], np.float32)
+                plan = plans.setdefault(key, np.zeros((24, n_buildings),
+                                                      np.float32))
+                plan[:, b] = col
+        return cls(plans)
+
+    def expanded(self, cfg: StaticConfig, params: DistrictParams,
+                 n_steps: int) -> Dict[str, np.ndarray]:
+        """Normalize every plan to (S, B)."""
+        hours = np.asarray(params.series.hour)[:n_steps, 0]
+        B = cfg.n_buildings
+        out = {}
+        for k, v in self.plans.items():
+            if v.ndim == 2 and v.shape[0] == 24 and v.shape[1] == B:
+                out[k] = v[hours - 1]
+            else:
+                out[k] = rollout_fast.expand_action_plan(v, hours, n_steps, B)
+        return out
+
+    def as_policy_fn(self, cfg: StaticConfig, params: DistrictParams,
+                     n_steps: int) -> Callable:
+        """In-graph policy for the XLA scan fallback. Hour tables are
+        expanded over the FULL simulation range and indexed by the
+        sim-range step (so shifted episode windows keep the right hours);
+        explicit (S,)/(S, B) plans are episode-relative and index by the
+        episode step."""
+        hours_full = np.asarray(params.series.hour)[:, 0]
+        B = cfg.n_buildings
+        by_tau, by_t = {}, {}
+        for k, v in self.plans.items():
+            if v.ndim == 1 and v.shape[0] == 24:
+                by_tau[k] = jnp.asarray(
+                    np.broadcast_to(v[hours_full - 1][:, None],
+                                    (hours_full.shape[0], B)).copy())
+            elif v.ndim == 2 and v.shape[0] == 24 and v.shape[1] == B:
+                by_tau[k] = jnp.asarray(v[hours_full - 1])
+            else:
+                hours = hours_full[:n_steps]
+                by_t[k] = jnp.asarray(
+                    rollout_fast.expand_action_plan(v, hours, n_steps, B))
+        zero = jnp.zeros((B,), jnp.float32)
+
+        def policy(params, st):
+            out = {}
+            for k in ACTION_KEYS:
+                if k in by_tau:
+                    out[k] = jnp.take(by_tau[k], st.data_offset + st.t, axis=0)
+                elif k in by_t:
+                    out[k] = jnp.take(by_t[k], st.t, axis=0)
+                else:
+                    out[k] = zero
+            return out
+        return policy
+
+
+def kernel_family(cfg: StaticConfig) -> Optional[str]:
+    """Which whole-episode kernel serves this configuration, if any."""
+    if rollout_fast.eligible(cfg):
+        return "battery"
+    if rollout_fast.eligible_thermal(cfg):
+        return "thermal"
+    return None
+
+
+def _with_t0_double(bal: jnp.ndarray) -> jnp.ndarray:
+    """Battery electricity-consumption series: the t == 0 row double-counts
+    the balance (``building.py:2643-2652``; core/step.py bat_total)."""
+    return jnp.concatenate([bal[:1] * 2.0, bal[1:]], axis=0)
+
+
+def _assembler(cfg: StaticConfig, family: str, S: int,
+               baseline_condition: str) -> Callable:
+    """Jitted (params, rec) -> KPI dict for one district, reusing
+    :func:`citylearn_tpu.core.evaluate.kpi_table` on a ``collected`` dict
+    rebuilt from the kernel's recorded streams + the data series."""
+    from citylearn_tpu.core.evaluate import kpi_table
+
+    def run(params: DistrictParams, rec: jnp.ndarray):
+        ser = params.series
+        w = lambda arr: jax.lax.dynamic_slice_in_dim(arr, 0, S, axis=0)
+        if family == "battery":
+            net, bbal, _soc = rec[0], rec[1], rec[2]
+            storage = _with_t0_double(bbal)
+            served = w(ser.non_shiftable_load)
+            cool_met = jnp.zeros_like(net)
+            cool_bal = jnp.zeros_like(net)
+            dhw_met = jnp.zeros_like(net)
+            dhw_bal = jnp.zeros_like(net)
+        else:
+            from citylearn_tpu.ops.pallas_thermal import (
+                R_BBAL, R_CBAL, R_COUT, R_DBAL, R_DOUT, R_NET)
+            net = rec[R_NET]
+            outdoor = w(ser.outdoor_dry_bulb_temperature)
+            cool_cons = hvac.input_power(params.cooling_device, rec[R_CBAL],
+                                         outdoor, False)
+            dhw_cons = hvac.input_power(params.dhw_device, rec[R_DBAL],
+                                        outdoor, True)
+            storage = (cool_cons + dhw_cons + _with_t0_double(rec[R_BBAL]))
+            cool_met, cool_bal = rec[R_COUT], rec[R_CBAL]
+            dhw_met, dhw_bal = rec[R_DOUT], rec[R_DBAL]
+            served = (cool_met + jnp.clip(-cool_bal, 0.0, None)
+                      + dhw_met + jnp.clip(-dhw_bal, 0.0, None)
+                      + w(ser.non_shiftable_load))
+        pricing = w(ser.electricity_pricing)
+        carbon = w(ser.carbon_intensity)
+        collected = dict(
+            net=net,
+            cost=net * pricing,
+            emission=jnp.clip(net * carbon, 0.0, None),
+            storage=storage,
+            solar=-w(ser.solar_generation),
+            pricing=pricing,
+            carbon=carbon,
+            indoor_t=w(ser.indoor_dry_bulb_temperature),
+            cooling_sp=w(ser.indoor_dry_bulb_temperature_cooling_set_point),
+            heating_sp=w(ser.indoor_dry_bulb_temperature_heating_set_point),
+            cooling_demand_actual=w(ser.cooling_demand),
+            heating_demand_actual=w(ser.heating_demand),
+            served=served,
+        )
+        return kpi_table(cfg, params, collected, jnp.int32(0),
+                         baseline_condition)
+
+    return jax.jit(run)
+
+
+_ASSEMBLER_CACHE: Dict[Tuple, Callable] = {}
+
+
+def evaluate_scripted(cfg: StaticConfig, params: DistrictParams,
+                      policy: ScriptedPolicy, n_steps: int = None,
+                      baseline_condition: str = "_without_storage",
+                      n_districts: int = None, interpret: bool = False,
+                      return_series: bool = False):
+    """Full normalized KPI table for ONE district under an open-loop
+    policy, computed on a whole-episode Pallas kernel.
+
+    Requires a kernel-eligible configuration (``kernel_family(cfg)``).
+    Returns the same ``building|<kpi>`` -> (B,) / ``district|<kpi>`` ->
+    scalar dict as :func:`citylearn_tpu.core.evaluate.kpi_table`; with
+    ``return_series=True`` also returns the raw recorded (N_REC, S, B)
+    per-step stream (see the kernel modules' row constants)."""
+    family = kernel_family(cfg)
+    if family is None:
+        raise ValueError("configuration is not kernel-eligible; use "
+                         "evaluate_districts (XLA scan) instead")
+    # Pallas TPU kernels have no compiled CPU lowering — run the
+    # interpreter there (tests / CPU-only hosts) and compile on TPU
+    interpret = interpret or jax.default_backend() == "cpu"
+    S = (cfg.time_steps - 1) if n_steps is None else int(n_steps)
+    plans = policy.expanded(cfg, params, S)
+    if family == "battery":
+        D = n_districts or rollout_fast.TILE_D
+        out = rollout_fast.run_battery_episode(
+            cfg, params, D, plans.get("electrical_storage",
+                                      np.zeros((S, cfg.n_buildings),
+                                               np.float32)),
+            n_steps=S, interpret=interpret, record_series=True)
+        rec = out[-1]
+    else:
+        from citylearn_tpu.ops.pallas_thermal import TILE_D as TILE_D_TH
+        D = n_districts or TILE_D_TH
+        out = rollout_fast.run_thermal_episode(
+            cfg, params, D, plans, n_steps=S, interpret=interpret,
+            record_series=True)
+        rec = out[-1]
+
+    key = (cfg, family, S, baseline_condition)
+    if key not in _ASSEMBLER_CACHE:
+        _ASSEMBLER_CACHE[key] = _assembler(cfg, family, S, baseline_condition)
+    table = _ASSEMBLER_CACHE[key](params, rec)
+    if return_series:
+        return table, rec
+    return table

@@ -302,6 +302,9 @@ def pack(spec: DistrictSpec, param_dtype=np.float32
         seconds_per_time_step=spec.seconds_per_time_step,
         time_step_ratio=spec.time_step_ratio,
         simulate_power_outage=tuple(b.simulate_power_outage for b in spec.buildings),
+        has_stochastic_outage=any(b.simulate_power_outage
+                                  and b.stochastic_power_outage
+                                  for b in spec.buildings),
         reward_type=reward_type,
         reward_exponent=float(reward_attrs.get("exponent") or 1.0),
         reward_band=(None if reward_attrs.get("band") is None

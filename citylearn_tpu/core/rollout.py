@@ -113,7 +113,18 @@ def make_batched_episode_fn(cfg: StaticConfig):
 
 def batched_initial_states(cfg: StaticConfig, params: DistrictParams,
                            n_districts: int, data_offset: int = 0) -> EnvState:
-    """(D, ...) stacked initial states for ``make_batched_episode_fn``."""
+    """(D, ...) stacked initial states for ``make_batched_episode_fn``.
+
+    Stochastic-outage datasets bake their signal for the default episode
+    window only (rows [0, episode_steps) of the sim range); a nonzero
+    ``data_offset`` would silently read all-zero outage signals, so it is
+    rejected here — use the Gym adapter (which re-bakes per window) for
+    shifted episodes of those datasets."""
+    if cfg.has_stochastic_outage and data_offset != 0:
+        raise ValueError(
+            "batched rollouts of stochastic-outage datasets require "
+            "data_offset == 0 (the baked signal covers the default window "
+            "only; see core/params.py)")
     s = initial_state(cfg, params, data_offset)
     return jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (n_districts,) + x.shape), s)

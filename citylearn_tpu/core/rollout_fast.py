@@ -51,13 +51,31 @@ def _pad_time(arr: np.ndarray, t_pad: int) -> np.ndarray:
     return out
 
 
+def expand_action_plan(arr, hours: np.ndarray, S: int, B: int) -> np.ndarray:
+    """Normalize an action input to an (S, B) open-loop plan: a (24,)
+    hour-indexed table broadcasts over buildings, an (S,) series
+    broadcasts over buildings, an (S, B) plan passes through."""
+    arr = np.asarray(arr, np.float32)
+    if arr.ndim == 1 and arr.shape[0] == 24:
+        arr = arr[hours - 1]
+    if arr.ndim == 1:
+        assert arr.shape[0] >= S, f"per-step plan too short: {arr.shape}"
+        arr = np.broadcast_to(arr[:S, None], (S, B))
+    assert arr.shape[0] >= S and arr.shape[1] == B, f"bad plan shape {arr.shape}"
+    return arr[:S]
+
+
 def run_battery_episode(cfg: StaticConfig, params: DistrictParams,
                         n_districts: int, action_table: np.ndarray,
                         n_steps: Optional[int] = None,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        record_series: bool = False):
     """Whole-episode rollout for ``n_districts`` identical district copies
-    under an hour-indexed action table. Returns per-district per-building
-    reward/cost/emission sums and final battery state."""
+    under an open-loop action plan ((24,) hour table, (S,) series or
+    (S, B) per-building plan). Returns per-district per-building
+    reward/cost/emission sums and final battery state; with
+    ``record_series=True`` an extra (3, S, B) per-step stream of district
+    0's (net, raw battery balance, soc) is appended."""
     assert eligible(cfg), "configuration not eligible for the battery fast path"
     S = (cfg.time_steps - 1) if n_steps is None else n_steps
     assert n_districts % TILE_D == 0, f"n_districts must be a multiple of {TILE_D}"
@@ -78,8 +96,8 @@ def run_battery_episode(cfg: StaticConfig, params: DistrictParams,
     series = tuple(jnp.asarray(_pad_time(x, t_pad)) for x in series_np)
 
     hours = np.asarray(params.series.hour)[:S, 0]
-    actions = np.zeros(t_pad, np.float32)
-    actions[:S] = np.asarray(action_table, np.float32)[hours - 1]
+    actions = np.zeros((t_pad, B_PAD), np.float32)
+    actions[:S, :B] = expand_action_plan(action_table, hours, S, B)
 
     bat = params.battery
     bparams = jnp.asarray(np.stack([pad_b(x) for x in (
@@ -123,8 +141,12 @@ def run_battery_episode(cfg: StaticConfig, params: DistrictParams,
         jnp.asarray(actions), series, bparams, curves,
         tile(bat.initial_soc), tile(bat.efficiency), tile(bat.capacity),
         n_steps=S, hours_ratio=cfg.seconds_per_time_step / 3600.0,
-        ratio=cfg.time_step_ratio, n_knots=n_knots, interpret=interpret)
-    return tuple(o[:, :B] for o in out)
+        ratio=cfg.time_step_ratio, n_knots=n_knots, record=record_series,
+        interpret=interpret)
+    sliced = tuple(o[:, :B] for o in out[:6])
+    if record_series:
+        sliced = sliced + (out[6][:, :S, :B],)
+    return sliced
 
 
 def _pad_b(arr, fill=0.0):
@@ -321,15 +343,20 @@ def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
 def run_thermal_episode(cfg: StaticConfig, params: DistrictParams,
                         n_districts: int, action_tables: dict,
                         n_steps: Optional[int] = None,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        record_series: bool = False):
     """Whole-episode rollout on the thermal kernel
     (:func:`citylearn_tpu.ops.pallas_thermal.thermal_episode`) for
-    ``n_districts`` identical district copies under hour-indexed action
-    tables ``{action_name: (24,)}`` (cooling_storage / dhw_storage /
-    electrical_storage; missing keys act 0).
+    ``n_districts`` identical district copies under open-loop action
+    plans ``{action_name: (24,) hour table | (S,) | (S, B)}``
+    (cooling_storage / dhw_storage / electrical_storage; missing keys
+    act 0).
 
     Returns (reward_sum, cost_sum, emission_sum, cooling_soc, dhw_soc,
-    battery_soc, battery_eff, battery_degraded), each (D, B)."""
+    battery_soc, battery_eff, battery_degraded), each (D, B); with
+    ``record_series=True`` an extra (N_TREC, S, B) per-step stream of
+    district 0 is appended (see :mod:`citylearn_tpu.ops.pallas_thermal`
+    row constants)."""
     from citylearn_tpu.ops.pallas_thermal import (
         N_TROWS,
         T_CHUNK as T_CHUNK_TH,
@@ -354,10 +381,10 @@ def run_thermal_episode(cfg: StaticConfig, params: DistrictParams,
     hours = np.asarray(ser.hour)[:S, 0]
     actions = []
     for k in ("cooling_storage", "dhw_storage", "electrical_storage"):
-        col = np.zeros(t_pad, np.float32)
+        col = np.zeros((t_pad, B_PAD), np.float32)
         tbl = action_tables.get(k)
         if tbl is not None:
-            col[:S] = np.asarray(tbl, np.float32)[hours - 1]
+            col[:S, :B] = expand_action_plan(tbl, hours, S, B)
         actions.append(jnp.asarray(col))
 
     bat = params.battery
@@ -418,5 +445,9 @@ def run_thermal_episode(cfg: StaticConfig, params: DistrictParams,
         tile(ct.initial_soc), tile(dt.initial_soc),
         tile(bat.initial_soc), tile(bat.efficiency), tile(bat.capacity),
         n_steps=S, hours_ratio=cfg.seconds_per_time_step / 3600.0,
-        ratio=cfg.time_step_ratio, n_knots=n_knots, interpret=interpret)
-    return tuple(o[:, :B] for o in out)
+        ratio=cfg.time_step_ratio, n_knots=n_knots, record=record_series,
+        interpret=interpret)
+    sliced = tuple(o[:, :B] for o in out[:8])
+    if record_series:
+        sliced = sliced + (out[8][:, :S, :B],)
+    return sliced

@@ -209,6 +209,12 @@ class StaticConfig:
     seconds_per_time_step: float
     time_step_ratio: float
     simulate_power_outage: Tuple[bool, ...]   # per building
+    # Any building uses a stochastic outage model. The signal is baked at
+    # compile time for the DEFAULT episode window only (rows
+    # [0, episode_steps) of the sim range; core/params.py); batched paths
+    # therefore require data_offset == 0 — the Gym adapter re-bakes per
+    # window at reset instead (envs/environment._refresh_outage_signals).
+    has_stochastic_outage: bool = False
     # Bit-exact parity mode: compute each step in float64 (like the
     # reference's Python-float arithmetic) but round to float32 exactly
     # where the reference stores into its float32 arrays (SOC,

@@ -4,8 +4,20 @@ The XLA per-step path issues ~10^2 small kernels per scanned step; at
 4096 districts that costs ~1 ms per env step regardless of math. This
 kernel fuses the ENTIRE episode: the grid tiles the district batch, the
 year-long driver series stream HBM -> VMEM in double-buffered time
-chunks, battery state lives in VMEM scratch, and the hour-indexed policy
-is a prefetched per-step scalar — one kernel launch per episode.
+chunks, battery state lives in VMEM scratch, and the open-loop action
+plan is itself a streamed (T, B) tensor — one kernel launch per episode.
+
+Two product features beyond raw throughput:
+
+- **per-building action plans**: the action input is a full (T_pad, B)
+  stream (any open-loop plan — hour-indexed RBC tables are just one
+  broadcast of it), not a scalar shared across buildings;
+- **per-step series recording** (``record=True``): the kernel streams the
+  per-step net consumption, raw battery balance and SOC of district-tile
+  0 back to HBM, chunk by chunk, so user-facing evaluation
+  (:mod:`citylearn_tpu.core.evaluate_fast`) can produce the full
+  normalized KPI table of the reference's ``evaluate()``
+  (``citylearn.py:1136-1323``) at kernel speed.
 
 Physics is bit-compatible with :func:`citylearn_tpu.core.battery.battery_charge`
 (reference ``energy_model.py:719-768, 1027-1141``) for the no-outage,
@@ -28,6 +40,7 @@ ZERO = 1e-6
 TILE_D = 256
 T_CHUNK = 512
 P = 12            # padded curve knots (compiler/seeding.pad_curve)
+N_REC = 3         # recorded series rows: net, battery balance, battery soc
 
 
 def _interp(q, xs, ys, n_knots: int):
@@ -59,17 +72,26 @@ def _interp(q, xs, ys, n_knots: int):
     return y0 + (q - x0) * (y1 - y0) / (x1 - x0)
 
 
-def _episode_kernel(actions_ref,            # scalar prefetch: (S,) f32
+def _episode_kernel(act_hbm,                 # (T, B) HBM action stream
                     nsl_hbm, solar_hbm, price_hbm, carbon_hbm,   # (T, B) HBM
                     bparams_ref,            # (8, B) VMEM
                     pec_x_ref, pec_y_ref, cpc_x_ref, cpc_y_ref,  # (P, B) VMEM
                     soc0_ref, eff0_ref, deg0_ref,                # (TILE, B) VMEM
                     reward_ref, cost_ref, emission_ref,          # (TILE, B) out
                     soc_ref, eff_ref, deg_ref,                   # (TILE, B) out
-                    nsl_buf, solar_buf, price_buf, carbon_buf,   # (2, CH, B) scratch
-                    sems,                   # DMA sems (2, 4)
-                    *, n_steps: int, hours_ratio: float, ratio: float,
-                    n_knots: int):
+                    *rest,
+                    # scratch (after any record outputs in ``rest``):
+                    # act/nsl/solar/price/carbon bufs (2, CH, B), DMA sems,
+                    # and when recording: rec bufs (N_REC x (CH, B)) + sems
+                    n_steps: int, hours_ratio: float, ratio: float,
+                    n_knots: int, record: bool):
+    if record:
+        rec_out, = rest[:1]                  # (N_REC, T_pad, B) HBM out
+        (act_buf, nsl_buf, solar_buf, price_buf, carbon_buf,
+         sems, rec_buf, rec_sem) = rest[1:]
+    else:
+        (act_buf, nsl_buf, solar_buf, price_buf, carbon_buf,
+         sems) = rest
     cap = bparams_ref[0, :][None, :]
     nominal = bparams_ref[1, :][None, :]
     loss = bparams_ref[2, :][None, :]
@@ -81,6 +103,9 @@ def _episode_kernel(actions_ref,            # scalar prefetch: (S,) f32
     cpc_x = cpc_x_ref[:, :]
     cpc_y = cpc_y_ref[:, :]
 
+    # hoisted: program_id is only available at kernel top level in
+    # interpret mode (inside fori_loop it would trace into plain XLA)
+    is_tile0 = pl.program_id(0) == 0
     n_chunks = pl.cdiv(n_steps, T_CHUNK)
 
     def chunk_dma(slot, ci):
@@ -88,7 +113,7 @@ def _episode_kernel(actions_ref,            # scalar prefetch: (S,) f32
         return [pltpu.make_async_copy(
             hbm.at[pl.ds(start, T_CHUNK), :], buf.at[slot], sems.at[slot, i])
             for i, (hbm, buf) in enumerate(
-                [(nsl_hbm, nsl_buf), (solar_hbm, solar_buf),
+                [(act_hbm, act_buf), (nsl_hbm, nsl_buf), (solar_hbm, solar_buf),
                  (price_hbm, price_buf), (carbon_hbm, carbon_buf)])]
 
     for d in chunk_dma(0, 0):
@@ -109,7 +134,7 @@ def _episode_kernel(actions_ref,            # scalar prefetch: (S,) f32
         def step_body(tl, carry):
             soc, eff, deg, rew, cost, emis = carry
             t = ci * T_CHUNK + tl
-            a = actions_ref[t]
+            a = act_buf[slot, tl, :][None, :]
             nsl = nsl_buf[slot, tl, :][None, :]
             solar = solar_buf[slot, tl, :][None, :]
             price = price_buf[slot, tl, :][None, :]
@@ -151,6 +176,12 @@ def _episode_kernel(actions_ref,            # scalar prefetch: (S,) f32
             nsl_term = jnp.where(is_t0, 3.0 * nsl, nsl)
             bat_term = jnp.where(is_t0, 2.0 * balance, balance)
             net = nsl_term + bat_term - solar
+            if record:
+                # district-tile 0 is the recorded district: the per-step
+                # stream writes (1, B) rows of its first district row
+                rec_buf[0, pl.ds(tl, 1), :] = net[0:1, :]
+                rec_buf[1, pl.ds(tl, 1), :] = balance[0:1, :]
+                rec_buf[2, pl.ds(tl, 1), :] = new_soc[0:1, :]
             # static trip counts everywhere: steps past n_steps are no-ops
             live = t < n_steps
             keep = lambda new, old: jnp.where(live, new, old)
@@ -162,8 +193,17 @@ def _episode_kernel(actions_ref,            # scalar prefetch: (S,) f32
             return (keep(new_soc, soc), keep(new_eff, eff),
                     keep(new_deg, deg), rew, cost, emis)
 
-        return jax.lax.fori_loop(0, T_CHUNK, step_body,
-                                 (soc, eff, deg, rew, cost, emis))
+        out = jax.lax.fori_loop(0, T_CHUNK, step_body,
+                                (soc, eff, deg, rew, cost, emis))
+        if record:
+            @pl.when(is_tile0)
+            def _():
+                copy = pltpu.make_async_copy(
+                    rec_buf, rec_out.at[:, pl.ds(ci * T_CHUNK, T_CHUNK), :],
+                    rec_sem)
+                copy.start()
+                copy.wait()
+        return out
 
     zeros = jnp.zeros_like(soc0_ref[:, :])
     soc, eff, deg, rew, cost, emis = jax.lax.fori_loop(
@@ -178,43 +218,52 @@ def _episode_kernel(actions_ref,            # scalar prefetch: (S,) f32
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "hours_ratio", "ratio",
-                                              "n_knots", "interpret"))
+                                             "n_knots", "record", "interpret"))
 def battery_episode(actions: jnp.ndarray, series: Tuple[jnp.ndarray, ...],
                     bparams: jnp.ndarray, curves: Tuple[jnp.ndarray, ...],
                     soc0: jnp.ndarray, eff0: jnp.ndarray, deg0: jnp.ndarray,
                     n_steps: int, hours_ratio: float, ratio: float,
-                    n_knots: int = P, interpret: bool = False):
+                    n_knots: int = P, record: bool = False,
+                    interpret: bool = False):
     """Run a full episode for a (D, B) district batch.
 
-    actions: (S_pad,) per-step scalar action (hour-RBC style, shared across
-    buildings/districts); series: 4 x (T_pad, B) float32 (nsl, solar,
-    price, carbon), T_pad a multiple of T_CHUNK; state: (D, B).
-    Returns (reward_sum, cost_sum, emission_sum, soc, eff, degraded).
+    actions: (T_pad, B) per-step per-building open-loop plan (shared
+    across districts); series: 4 x (T_pad, B) float32 (nsl, solar, price,
+    carbon), T_pad a multiple of T_CHUNK; state: (D, B).
+    Returns (reward_sum, cost_sum, emission_sum, soc, eff, degraded) and,
+    with ``record=True``, an extra (N_REC, T_pad, B) per-step stream of
+    district 0's (net, raw battery balance, soc).
     """
     D, B = soc0.shape
     nsl, solar, price, carbon = series
+    T_pad = nsl.shape[0]
     grid = (D // TILE_D,)
 
-    # with scalar prefetch, index maps receive the prefetch ref too
-    state_spec = pl.BlockSpec((TILE_D, B), lambda i, _a: (i, 0),
+    state_spec = pl.BlockSpec((TILE_D, B), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
     out_shapes = [jax.ShapeDtypeStruct((D, B), jnp.float32)] * 6
+    out_specs = [state_spec] * 6
     hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((2, T_CHUNK, B), jnp.float32)] * 5 \
+        + [pltpu.SemaphoreType.DMA((2, 5))]
+    if record:
+        out_shapes = out_shapes + [
+            jax.ShapeDtypeStruct((N_REC, T_pad, B), jnp.float32)]
+        out_specs = out_specs + [hbm_spec]
+        scratch = scratch + [pltpu.VMEM((N_REC, T_CHUNK, B), jnp.float32),
+                             pltpu.SemaphoreType.DMA]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=grid,
-        in_specs=[hbm_spec, hbm_spec, hbm_spec, hbm_spec,
-                  small, small, small, small, small,
-                  state_spec, state_spec, state_spec],
-        out_specs=[state_spec] * 6,
-        scratch_shapes=[pltpu.VMEM((2, T_CHUNK, B), jnp.float32)] * 4
-        + [pltpu.SemaphoreType.DMA((2, 4))],
+        in_specs=[hbm_spec] * 5 + [small] * 5 + [state_spec] * 3,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(_episode_kernel, n_steps=n_steps,
                                hours_ratio=hours_ratio, ratio=ratio,
-                               n_knots=n_knots)
+                               n_knots=n_knots, record=record)
     pec_x, pec_y, cpc_x, cpc_y = curves
     return pl.pallas_call(
         kernel,

@@ -4,9 +4,17 @@ Extends the battery fast path (:mod:`citylearn_tpu.ops.pallas_battery`) to
 the 2021-family configuration: cooling + DHW end-uses with heat-pump /
 electric-heater devices and storage tanks, plus the battery — the full
 no-outage district step fused over the episode. The grid tiles the
-district batch, seven driver series stream HBM -> VMEM in double-buffered
-time chunks, all storage state lives in VMEM, and the three hour-indexed
-storage actions are prefetched per-step scalars.
+district batch, seven driver series and three (T, B) open-loop action
+plans stream HBM -> VMEM in double-buffered time chunks, and all storage
+state lives in VMEM.
+
+Like the battery kernel, this is a product surface, not just a bench
+artifact: actions are per-building per-step streams (hour-indexed RBC
+tables are one broadcast of them), and ``record=True`` streams the
+per-step series of district-tile 0 back to HBM (net, tank/battery
+balances, SOCs, device outputs) so
+:mod:`citylearn_tpu.core.evaluate_fast` can produce the reference's full
+normalized KPI table (``citylearn.py:1136-1323``) at kernel speed.
 
 Physics is bit-compatible with :func:`citylearn_tpu.core.step.district_step`
 for the eligible configuration (reference ``building.py:1641-1823``,
@@ -33,7 +41,7 @@ from citylearn_tpu.ops.pallas_battery import _interp
 
 ZERO = 1e-6
 TILE_D = 256
-T_CHUNK = 256     # 7 double-buffered streams: keep VMEM under budget
+T_CHUNK = 256     # 10 double-buffered streams: keep VMEM under budget
 
 # thermal parameter rows (see _pack_thermal in core/rollout_fast.py)
 (CN, CE, CTC, CHP,              # cooling device
@@ -41,6 +49,10 @@ T_CHUNK = 256     # 7 double-buffered streams: keep VMEM under budget
  CT_CAP, CT_RT, CT_LOSS, CT_MI, CT_MO, CT_CONV,   # cooling tank
  DT_CAP, DT_RT, DT_LOSS, DT_MI, DT_MO, DT_CONV,   # dhw tank
  N_TROWS) = range(21)
+
+# recorded per-step series rows (record=True)
+(R_NET, R_CBAL, R_DBAL, R_BBAL, R_CSOC, R_DSOC, R_BSOC, R_COUT, R_DOUT,
+ N_TREC) = range(10)
 
 
 def _cop(tparams, dev_off, outdoor, heating: bool):
@@ -111,7 +123,7 @@ def _thermal_block(tparams, dev_off, tank_off, conv_row, soc, demand, action,
             pick(cons_dev_A + cons_store_A, cons_dev_B + cons_store_B), cop)
 
 
-def _episode_kernel(acool_ref, adhw_ref, abat_ref,  # scalar prefetch (S_pad,)
+def _episode_kernel(acool_hbm, adhw_hbm, abat_hbm,   # (T, B) HBM action plans
                     nsl_hbm, solar_hbm, price_hbm, carbon_hbm,
                     cool_hbm, dhw_hbm, outdoor_hbm,              # (T, B) HBM
                     bparams_ref,            # (8, B) VMEM (battery)
@@ -121,11 +133,18 @@ def _episode_kernel(acool_ref, adhw_ref, abat_ref,  # scalar prefetch (S_pad,)
                     soc0_ref, eff0_ref, deg0_ref,                # (TILE, B)
                     reward_ref, cost_ref, emission_ref,          # (TILE, B) out
                     csoc_ref, dsoc_ref, soc_ref, eff_ref, deg_ref,
-                    nsl_buf, solar_buf, price_buf, carbon_buf,
-                    cool_buf, dhw_buf, outdoor_buf,              # scratch
-                    sems,                   # DMA sems (2, 7)
-                    *, n_steps: int, hours_ratio: float, ratio: float,
-                    n_knots: int):
+                    *rest,
+                    n_steps: int, hours_ratio: float, ratio: float,
+                    n_knots: int, record: bool):
+    if record:
+        rec_out, = rest[:1]                  # (N_TREC, T_pad, B) HBM out
+        (acool_buf, adhw_buf, abat_buf,
+         nsl_buf, solar_buf, price_buf, carbon_buf,
+         cool_buf, dhw_buf, outdoor_buf, sems, rec_buf, rec_sem) = rest[1:]
+    else:
+        (acool_buf, adhw_buf, abat_buf,
+         nsl_buf, solar_buf, price_buf, carbon_buf,
+         cool_buf, dhw_buf, outdoor_buf, sems) = rest
     cap = bparams_ref[0, :][None, :]
     nominal = bparams_ref[1, :][None, :]
     loss = bparams_ref[2, :][None, :]
@@ -137,8 +156,11 @@ def _episode_kernel(acool_ref, adhw_ref, abat_ref,  # scalar prefetch (S_pad,)
     cpc_y = cpc_y_ref[:, :]
     tparams = tparams_ref[:, :]
 
+    is_tile0 = pl.program_id(0) == 0
     n_chunks = pl.cdiv(n_steps, T_CHUNK)
-    streams = [(nsl_hbm, nsl_buf), (solar_hbm, solar_buf),
+    streams = [(acool_hbm, acool_buf), (adhw_hbm, adhw_buf),
+               (abat_hbm, abat_buf),
+               (nsl_hbm, nsl_buf), (solar_hbm, solar_buf),
                (price_hbm, price_buf), (carbon_hbm, carbon_buf),
                (cool_hbm, cool_buf), (dhw_hbm, dhw_buf),
                (outdoor_hbm, outdoor_buf)]
@@ -167,9 +189,9 @@ def _episode_kernel(acool_ref, adhw_ref, abat_ref,  # scalar prefetch (S_pad,)
         def step_body(tl, carry):
             csoc, dsoc, soc, eff, deg, rew, cost, emis = carry
             t = ci * T_CHUNK + tl
-            a_cool = acool_ref[t]
-            a_dhw = adhw_ref[t]
-            a_bat = abat_ref[t]
+            a_cool = acool_buf[slot, tl, :][None, :]
+            a_dhw = adhw_buf[slot, tl, :][None, :]
+            a_bat = abat_buf[slot, tl, :][None, :]
             nsl = nsl_buf[slot, tl, :][None, :]
             solar = solar_buf[slot, tl, :][None, :]
             price = price_buf[slot, tl, :][None, :]
@@ -238,6 +260,17 @@ def _episode_kernel(acool_ref, adhw_ref, abat_ref,  # scalar prefetch (S_pad,)
             bat_term = balance + t0f * balance
             net = cool_total + dhw_total + nsl_term + bat_term - solar
 
+            if record:
+                rec_buf[R_NET, pl.ds(tl, 1), :] = net[0:1, :]
+                rec_buf[R_CBAL, pl.ds(tl, 1), :] = cbal[0:1, :]
+                rec_buf[R_DBAL, pl.ds(tl, 1), :] = dbal[0:1, :]
+                rec_buf[R_BBAL, pl.ds(tl, 1), :] = balance[0:1, :]
+                rec_buf[R_CSOC, pl.ds(tl, 1), :] = csoc_n[0:1, :]
+                rec_buf[R_DSOC, pl.ds(tl, 1), :] = dsoc_n[0:1, :]
+                rec_buf[R_BSOC, pl.ds(tl, 1), :] = new_soc[0:1, :]
+                rec_buf[R_COUT, pl.ds(tl, 1), :] = cout[0:1, :]
+                rec_buf[R_DOUT, pl.ds(tl, 1), :] = dout[0:1, :]
+
             live = t < n_steps
             keep = lambda new, old: jnp.where(live, new, old)
             rew = keep(rew - jnp.maximum(net, 0.0), rew)
@@ -247,7 +280,16 @@ def _episode_kernel(acool_ref, adhw_ref, abat_ref,  # scalar prefetch (S_pad,)
                     keep(new_soc, soc), keep(new_eff, eff),
                     keep(new_deg, deg), rew, cost, emis)
 
-        return jax.lax.fori_loop(0, T_CHUNK, step_body, carry)
+        out = jax.lax.fori_loop(0, T_CHUNK, step_body, carry)
+        if record:
+            @pl.when(is_tile0)
+            def _():
+                copy = pltpu.make_async_copy(
+                    rec_buf, rec_out.at[:, pl.ds(ci * T_CHUNK, T_CHUNK), :],
+                    rec_sem)
+                copy.start()
+                copy.wait()
+        return out
 
     zeros = jnp.zeros_like(soc0_ref[:, :])
     csoc, dsoc, soc, eff, deg, rew, cost, emis = jax.lax.fori_loop(
@@ -265,7 +307,7 @@ def _episode_kernel(acool_ref, adhw_ref, abat_ref,  # scalar prefetch (S_pad,)
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "hours_ratio", "ratio",
-                                              "n_knots", "interpret"))
+                                             "n_knots", "record", "interpret"))
 def thermal_episode(actions: Tuple[jnp.ndarray, ...],
                     series: Tuple[jnp.ndarray, ...],
                     bparams: jnp.ndarray, curves: Tuple[jnp.ndarray, ...],
@@ -273,33 +315,46 @@ def thermal_episode(actions: Tuple[jnp.ndarray, ...],
                     csoc0: jnp.ndarray, dsoc0: jnp.ndarray,
                     soc0: jnp.ndarray, eff0: jnp.ndarray, deg0: jnp.ndarray,
                     n_steps: int, hours_ratio: float, ratio: float,
-                    n_knots: int, interpret: bool = False):
+                    n_knots: int, record: bool = False,
+                    interpret: bool = False):
     """Full episode for a (D, B) thermal district batch.
 
-    actions: 3 x (S_pad,) per-step scalars (cooling_storage,
-    dhw_storage, electrical_storage); series: 7 x (T_pad, B) float32 (nsl,
-    solar, price, carbon, cooling_demand, dhw_demand, outdoor). Returns
-    (reward_sum, cost_sum, emission_sum, cool_soc, dhw_soc, bat_soc,
-    bat_eff, bat_degraded)."""
+    actions: 3 x (T_pad, B) per-step per-building open-loop plans
+    (cooling_storage, dhw_storage, electrical_storage); series: 7 x
+    (T_pad, B) float32 (nsl, solar, price, carbon, cooling_demand,
+    dhw_demand, outdoor). Returns (reward_sum, cost_sum, emission_sum,
+    cool_soc, dhw_soc, bat_soc, bat_eff, bat_degraded) and, with
+    ``record=True``, an extra (N_TREC, T_pad, B) per-step stream of
+    district 0's (net, cooling/dhw/battery balances, SOCs, device
+    outputs)."""
     D, B = soc0.shape
+    T_pad = series[0].shape[0]
     grid = (D // TILE_D,)
-    state_spec = pl.BlockSpec((TILE_D, B), lambda i, *_: (i, 0),
+    state_spec = pl.BlockSpec((TILE_D, B), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
     out_shapes = [jax.ShapeDtypeStruct((D, B), jnp.float32)] * 8
+    out_specs = [state_spec] * 8
     hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((2, T_CHUNK, B), jnp.float32)] * 10 \
+        + [pltpu.SemaphoreType.DMA((2, 10))]
+    if record:
+        out_shapes = out_shapes + [
+            jax.ShapeDtypeStruct((N_TREC, T_pad, B), jnp.float32)]
+        out_specs = out_specs + [hbm_spec]
+        scratch = scratch + [pltpu.VMEM((N_TREC, T_CHUNK, B), jnp.float32),
+                             pltpu.SemaphoreType.DMA]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=0,
         grid=grid,
-        in_specs=[hbm_spec] * 7 + [small] * 6 + [state_spec] * 5,
-        out_specs=[state_spec] * 8,
-        scratch_shapes=[pltpu.VMEM((2, T_CHUNK, B), jnp.float32)] * 7
-        + [pltpu.SemaphoreType.DMA((2, 7))],
+        in_specs=[hbm_spec] * 10 + [small] * 6 + [state_spec] * 5,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(_episode_kernel, n_steps=n_steps,
                                hours_ratio=hours_ratio, ratio=ratio,
-                               n_knots=n_knots)
+                               n_knots=n_knots, record=record)
     pec_x, pec_y, cpc_x, cpc_y = curves
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shapes,

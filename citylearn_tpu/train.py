@@ -170,6 +170,10 @@ class BatchedSAC:
         # window (reference EpisodeTracker splits, base.py:76-129)
         self.max_offset = int(self.spec.simulation_time_steps
                               - self.env_cfg.time_steps)
+        if self.env_cfg.has_stochastic_outage:
+            # the baked stochastic-outage signal covers the default window
+            # only (core/params.py) — shifted windows would read zeros
+            self.max_offset = 0
 
         self.mesh = mesh
         self.optimizer = optax.adam(cfg.lr)
@@ -402,17 +406,33 @@ class BatchedSAC:
 
     # ------------------------------------------------------------------
     def evaluate(self, n_steps: int = None,
-                 baseline_condition: str = "_without_storage"):
+                 baseline_condition: str = "_without_storage",
+                 policy=None):
         """In-graph KPI tables for every district under the current
         deterministic policy — one device computation, no host sync per
         step (reference ``citylearn.py:1136-1323`` semantics via
         :mod:`citylearn_tpu.core.evaluate`). Returns
         ``district|<kpi>`` -> (D,) and ``building|<kpi>`` -> (D, B).
 
+        ``policy`` may be a
+        :class:`citylearn_tpu.core.evaluate_fast.ScriptedPolicy` (e.g. an
+        RBC baseline to compare the learned policy against): on
+        kernel-eligible configurations that evaluation runs as ONE
+        whole-episode Pallas kernel launch via the
+        ``evaluate_districts`` dispatch instead of the XLA scan.
+
         The jitted evaluator is cached per (n_steps, baseline) with the
         policy parameters as traced inputs, so repeated evaluation during
         training never retraces the episode scan."""
         from citylearn_tpu.core.evaluate import collect_episode, kpi_table
+
+        if policy is not None:
+            from citylearn_tpu.core.evaluate import evaluate_districts
+            from citylearn_tpu.core.rollout import batched_initial_states
+            states = batched_initial_states(self.env_cfg, self.params,
+                                            self.cfg.n_districts)
+            return evaluate_districts(self.env_cfg, self.params, states,
+                                      policy, n_steps, baseline_condition)
 
         cache_key = (n_steps, baseline_condition)
         if not hasattr(self, "_eval_cache"):
@@ -441,11 +461,11 @@ class BatchedSAC:
                     return {k: v[0] for k, v in acts.items()}
 
                 def one(state):
-                    _, collected = collect_episode(self.env_cfg, params,
-                                                   state, policy_fn, S)
+                    st, collected = collect_episode(self.env_cfg, params,
+                                                    state, policy_fn, S)
                     return kpi_table(self.env_cfg, params, collected,
                                      state.data_offset + state.t,
-                                     baseline_condition)
+                                     baseline_condition, final_state=st)
 
                 return jax.vmap(one)(states)
 

@@ -1,0 +1,119 @@
+"""The kernel-backed user-facing evaluation (core/evaluate_fast) must
+produce the SAME full normalized KPI table as the general XLA-scan
+batched evaluator (core/evaluate.evaluate_districts) on the
+kernel-eligible families — battery+PV 2022 and thermal 2021 — under
+scripted open-loop policies (reference ``citylearn.py:1136-1323``).
+
+Runs the Pallas kernels in interpret mode on CPU; on real TPU hardware
+the same dispatch is exercised by ``bench.py`` (eval_fast row).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from citylearn_tpu.compiler.schema import compile_schema
+from citylearn_tpu.core import rollout_fast
+from citylearn_tpu.core.evaluate import evaluate_districts
+from citylearn_tpu.core.evaluate_fast import (
+    ScriptedPolicy,
+    evaluate_scripted,
+    kernel_family,
+)
+from citylearn_tpu.core.params import pack
+from citylearn_tpu.core.rollout import batched_initial_states
+
+DATASETS = "/root/reference/data/datasets"
+
+BAT_TABLE = np.where(np.arange(1, 25) < 9, 0.091, -0.08).astype(np.float32)
+THERMAL_TABLES = {
+    "cooling_storage": np.where(np.arange(1, 25) < 7, 0.05532,
+                                np.where(np.arange(1, 25) < 16, -0.02, 0.034)
+                                ).astype(np.float32),
+    "dhw_storage": np.full(24, 0.02, np.float32),
+    "electrical_storage": BAT_TABLE,
+}
+
+
+def _env(name, steps):
+    spec = compile_schema(f"{DATASETS}/{name}/schema.json", random_seed=0,
+                          central_agent=False, episode_time_steps=steps)
+    return pack(spec)[:2]
+
+
+def _compare(cfg, params, policy, baseline_condition="_without_storage"):
+    states = batched_initial_states(cfg, params, 2)
+    slow = evaluate_districts(
+        cfg, params, states,
+        policy.as_policy_fn(cfg, params, cfg.time_steps - 1),
+        baseline_condition=baseline_condition)
+    fast = evaluate_scripted(cfg, params, policy,
+                             baseline_condition=baseline_condition,
+                             interpret=True)
+    assert set(slow) == set(fast)
+    for k in sorted(slow):
+        a = np.asarray(slow[k])[0]       # district 0 of the XLA batch
+        b = np.asarray(fast[k])
+        np.testing.assert_allclose(
+            a, b, rtol=2e-5, atol=2e-5, equal_nan=True,
+            err_msg=f"KPI mismatch in {k}")
+
+
+def test_battery_2022_full_table():
+    cfg, params = _env("citylearn_challenge_2022_phase_1", 240)
+    assert kernel_family(cfg) == "battery"
+    # heterogeneous per-building plan: the kernel is NOT limited to one
+    # shared scalar per step
+    B = cfg.n_buildings
+    plan = np.tile(BAT_TABLE[:, None], (1, B))
+    plan[:, 1] *= 0.5
+    plan[:, 3] = -plan[:, 3]
+    _compare(cfg, params, ScriptedPolicy({"electrical_storage": plan}))
+
+
+def test_battery_2022_and_pv_baseline():
+    cfg, params = _env("citylearn_challenge_2022_phase_1", 168)
+    _compare(cfg, params, ScriptedPolicy({"electrical_storage": BAT_TABLE}),
+             baseline_condition="_without_storage_and_pv")
+
+
+def test_thermal_2021_full_table():
+    cfg, params = _env("citylearn_challenge_2021", 240)
+    assert kernel_family(cfg) == "thermal"
+    _compare(cfg, params, ScriptedPolicy(dict(THERMAL_TABLES)))
+
+
+def test_evaluate_districts_dispatches_to_kernel(monkeypatch):
+    """evaluate_districts hands ScriptedPolicy + eligible config to the
+    kernel path (user-facing API surface, VERDICT r3 #1)."""
+    cfg, params = _env("citylearn_challenge_2022_phase_1", 168)
+    calls = {}
+    import citylearn_tpu.core.evaluate_fast as ef
+    orig = ef.evaluate_scripted
+
+    def spy(*a, **kw):
+        calls["hit"] = True
+        kw.setdefault("interpret", True)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ef, "evaluate_scripted", spy)
+    states = batched_initial_states(cfg, params, 4)
+    out = evaluate_districts(cfg, params, states,
+                             ScriptedPolicy({"electrical_storage": BAT_TABLE}))
+    assert calls.get("hit"), "kernel dispatch did not fire"
+    assert np.asarray(out["district|cost_total"]).shape == (4,)
+    # all districts identical -> broadcast rows equal
+    v = np.asarray(out["building|cost_total"])
+    np.testing.assert_array_equal(v[0], v[-1])
+
+
+def test_scripted_policy_fallback_on_shifted_state():
+    """Non-fresh states (shifted window) fall back to the XLA scan with
+    hour tables indexed by the sim-range step."""
+    cfg, params = _env("citylearn_challenge_2022_phase_1", 168)
+    states = batched_initial_states(cfg, params, 2, data_offset=24)
+    out = evaluate_districts(cfg, params, states,
+                             ScriptedPolicy({"electrical_storage": BAT_TABLE}),
+                             n_steps=48)
+    assert np.isfinite(np.asarray(out["district|cost_total"])).all()
