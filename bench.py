@@ -119,6 +119,39 @@ def _bench_thermal_fast(schema, D, episode_time_steps, reps):
     return D * S / elapsed, dict(D=D, S=S, B=cfg.n_buildings, path="pallas")
 
 
+def _bench_lstm_fast(schema, D, episode_time_steps, reps):
+    """district-steps/s of the whole-episode Pallas LSTM-dynamics kernel
+    (ops/pallas_lstm.py) on a 2023-family dataset. With BENCH_LSTM_YEAR=1
+    (default) the bundled short-horizon CSVs are tiled to a full 8760-step
+    year in a temp dataset so the row measures a year-long horizon."""
+    import numpy as np
+
+    from citylearn_tpu.compiler.schema import compile_schema
+    from citylearn_tpu.core import rollout_fast
+    from citylearn_tpu.core.params import pack
+
+    if os.environ.get("BENCH_LSTM_YEAR", "1") == "1":
+        from tools.synth_lstm_year import synthesize_year
+
+        schema = synthesize_year(schema)
+    spec = compile_schema(schema, random_seed=0, central_agent=False)
+    cfg, params, _ = pack(spec)
+    if not rollout_fast.lstm_packable(cfg, params):
+        raise RuntimeError("not eligible for the LSTM fast path")
+    S = cfg.time_steps - 1
+    tables = {
+        "cooling_device": np.where(np.arange(1, 25) < 12, 0.8, 0.4
+                                   ).astype(np.float32),
+        "dhw_storage": np.full(24, 0.05, np.float32),
+        "electrical_storage": np.where(np.arange(1, 25) < 9, 0.091,
+                                       -0.08).astype(np.float32),
+    }
+    run = lambda: np.asarray(
+        rollout_fast.run_lstm_episode(cfg, params, D, tables)[0])
+    elapsed = _timeit(run, reps)
+    return D * S / elapsed, dict(D=D, S=S, B=cfg.n_buildings, path="pallas")
+
+
 def _bench_eval_fast(schema, D, episode_time_steps, reps):
     """district-steps/s of the USER-FACING kernel-backed evaluation
     (core/evaluate_fast.evaluate_scripted): whole-episode Pallas battery
@@ -340,12 +373,17 @@ def main():
              f"{DATASETS}/citylearn_challenge_2023_phase_1/schema.json",
              int(os.environ.get("BENCH_D_2023", "2048")), None,
              ("electrical_storage", "dhw_storage", "cooling_device")),
-            # D capped at 512: the 17-building + 8-charger config crashed
-            # the TPU worker at D=2048 (scale-triggered runtime fault in
-            # the gather/scatter-heavy EV program); 512 runs reliably
+            # Root-caused (VERDICT r3 #2, bisect via tools/ev_repro.py):
+            # the XLA-compiled scan program for this 17-building +
+            # 8-charger config crashes the TPU worker at D=2048 with a
+            # kernel fault (an XLA/TPU-runtime bug in the gather/scatter-
+            # heavy EV program at that batch size — D=512 and D=1024 run
+            # clean, and the Pallas EV kernel runs D=2048 fine). The
+            # bench therefore runs D=2048 on the Pallas kernel; the scan
+            # fallback is capped at 1024 below.
             ("evs_chargers_wm",
              f"{DATASETS}/citylearn_challenge_2022_phase_all_plus_evs/schema.json",
-             int(os.environ.get("BENCH_D_EVS", "512")), None,
+             int(os.environ.get("BENCH_D_EVS", "2048")), None,
              ("electrical_storage",)),
             # USER-FACING kernel-backed evaluate (full KPI table), not
             # just the raw kernel — the VERDICT r3 #1 product surface
@@ -379,11 +417,22 @@ def main():
                                     **meta}
                     _child_checkpoint(matrix)
                     continue
+                elif name == "c2023p1_lstm" and is_child:
+                    sps, meta = _bench_lstm_fast(sch, d, ets, mreps)
+                    matrix[name] = {"district_steps_per_sec": round(sps, 1),
+                                    **meta}
+                    _child_checkpoint(matrix)
+                    continue
                 elif is_child:
                     continue                   # XLA rows run in the parent
                 elif name == "eval_fast":
                     continue                   # Pallas-only row (child)
                 else:
+                    if name == "evs_chargers_wm":
+                        # XLA-scan fallback: the compiled scan program
+                        # crashes the TPU worker at D=2048 (see the row
+                        # comment + tools/ev_repro.py); 1024 runs clean
+                        d = min(d, 1024)
                     sps, meta = _bench_scan_config(sch, d, ets, mreps, keys,
                                                    table)
                 matrix[name] = {"district_steps_per_sec": round(sps, 1), **meta}

@@ -280,10 +280,15 @@ def evaluate_districts(cfg: StaticConfig, params: DistrictParams,
     )
 
     if isinstance(policy_fn, ScriptedPolicy):
+        from citylearn_tpu.core import rollout_fast
+
         D = states.t.shape[0]
         fresh = (bool(jnp.all(states.t == 0))
                  and bool(jnp.all(states.data_offset == 0)))
-        if kernel_family(cfg) is not None and fresh:
+        family = kernel_family(cfg)
+        if family == "lstm" and not rollout_fast.lstm_packable(cfg, params):
+            family = None
+        if family is not None and fresh:
             table = evaluate_scripted(cfg, params, policy_fn, n_steps,
                                       baseline_condition)
             # identical fresh districts -> identical tables; broadcast

@@ -132,6 +132,8 @@ def kernel_family(cfg: StaticConfig) -> Optional[str]:
         return "battery"
     if rollout_fast.eligible_thermal(cfg):
         return "thermal"
+    if rollout_fast.eligible_lstm(cfg):
+        return "lstm"
     return None
 
 
@@ -159,6 +161,38 @@ def _assembler(cfg: StaticConfig, family: str, S: int,
             cool_bal = jnp.zeros_like(net)
             dhw_met = jnp.zeros_like(net)
             dhw_bal = jnp.zeros_like(net)
+        elif family == "lstm":
+            from citylearn_tpu.ops.pallas_lstm import (
+                R_BBAL, R_CBAL, R_CDEM, R_COUT, R_DBAL, R_DOUT, R_NET, R_TEMP)
+            net = rec[R_NET]
+            outdoor = w(ser.outdoor_dry_bulb_temperature)
+            cool_cons = hvac.input_power(params.cooling_device, rec[R_CBAL],
+                                         outdoor, False)
+            dhw_cons = hvac.input_power(params.dhw_device, rec[R_DBAL],
+                                        outdoor, True)
+            storage = (cool_cons + dhw_cons + _with_t0_double(rec[R_BBAL]))
+            served = (rec[R_COUT] + jnp.clip(-rec[R_CBAL], 0.0, None)
+                      + rec[R_DOUT] + jnp.clip(-rec[R_DBAL], 0.0, None)
+                      + w(ser.non_shiftable_load))
+            pricing = w(ser.electricity_pricing)
+            carbon = w(ser.carbon_intensity)
+            collected = dict(
+                net=net,
+                cost=net * pricing,
+                emission=jnp.clip(net * carbon, 0.0, None),
+                storage=storage,
+                solar=-w(ser.solar_generation),
+                pricing=pricing,
+                carbon=carbon,
+                indoor_t=rec[R_TEMP],
+                cooling_sp=w(ser.indoor_dry_bulb_temperature_cooling_set_point),
+                heating_sp=w(ser.indoor_dry_bulb_temperature_heating_set_point),
+                cooling_demand_actual=rec[R_CDEM],
+                heating_demand_actual=w(ser.heating_demand),
+                served=served,
+            )
+            return kpi_table(cfg, params, collected, jnp.int32(0),
+                             baseline_condition)
         else:
             from citylearn_tpu.ops.pallas_thermal import (
                 R_BBAL, R_CBAL, R_COUT, R_DBAL, R_DOUT, R_NET)
@@ -229,6 +263,16 @@ def evaluate_scripted(cfg: StaticConfig, params: DistrictParams,
                                       np.zeros((S, cfg.n_buildings),
                                                np.float32)),
             n_steps=S, interpret=interpret, record_series=True)
+        rec = out[-1]
+    elif family == "lstm":
+        if not rollout_fast.lstm_packable(cfg, params):
+            raise ValueError("LSTM configuration not kernel-packable; use "
+                             "evaluate_districts (XLA scan) instead")
+        from citylearn_tpu.ops.pallas_lstm import TILE_D as TILE_D_L
+        D = n_districts or TILE_D_L
+        out = rollout_fast.run_lstm_episode(
+            cfg, params, D, plans, n_steps=S, interpret=interpret,
+            record_series=True)
         rec = out[-1]
     else:
         from citylearn_tpu.ops.pallas_thermal import TILE_D as TILE_D_TH

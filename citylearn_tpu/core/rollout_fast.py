@@ -340,6 +340,222 @@ def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
     return tuple(o[:, :n] for o, n in zip(out, slices))
 
 
+def eligible_lstm(cfg: StaticConfig) -> bool:
+    """LSTM-dynamics districts (the 2023 challenge family): one dynamics
+    group, cooling-device partial load, DHW + battery, ComfortReward; no
+    outage/EVs/WMs/occupants. Data-level conditions (single group covering
+    every building, two LSTM layers, packable channel widths, inert
+    heating) are checked by :func:`run_lstm_episode`."""
+    return (cfg.has_dynamics and len(cfg.dyn_groups) == 1
+            and not cfg.has_occupant and not cfg.has_evs
+            and not cfg.has_washing_machines and not cfg.any_outage
+            and not cfg.has_charging_constraints and not cfg.central_agent
+            and cfg.reward_per_building is None
+            and cfg.reward_type == "ComfortReward")
+
+
+def lstm_packable(cfg: StaticConfig, params: DistrictParams) -> bool:
+    """Data-level eligibility for the LSTM kernel."""
+    if not eligible_lstm(cfg):
+        return False
+    lookback, L, H, F, tc, cc, hc = cfg.dyn_groups[0]
+    B = cfg.n_buildings
+    dyn = params.dynamics[0]
+    if L != 2 or cc < 0 or hc >= 0 or B * F > 128 or B * H > 128:
+        return False
+    if not np.array_equal(np.asarray(dyn.member_indices), np.arange(B)):
+        return False
+    if (np.asarray(dyn.heating_device_active).any()
+            or np.asarray(dyn.cooling_or_heating_active).any()):
+        return False
+    # heating end-use must be inert (zero demand, zero tank)
+    if float(np.asarray(params.series.heating_demand).max()) > 0.0:
+        return False
+    if float(np.asarray(params.heating_storage.capacity).max()) > 0.0:
+        return False
+    return True
+
+
+def run_lstm_episode(cfg: StaticConfig, params: DistrictParams,
+                     n_districts: int, action_tables: dict,
+                     n_steps: Optional[int] = None,
+                     interpret: bool = False,
+                     record_series: bool = False):
+    """Whole-episode rollout on the LSTM-dynamics kernel
+    (:func:`citylearn_tpu.ops.pallas_lstm.lstm_episode`) for
+    ``n_districts`` identical district copies under open-loop plans
+    ``{action_name: (24,) hour table | (S,) | (S, B)}`` over
+    cooling_device / cooling_storage / dhw_storage / electrical_storage.
+
+    Returns (reward_sum, cost_sum, emission_sum, cool_soc, dhw_soc,
+    bat_soc, bat_eff, bat_degraded, last_temp), each (D, B); with
+    ``record_series=True`` an (N_LREC, S, B) per-step stream of district
+    0 is appended."""
+    from citylearn_tpu.ops.pallas_lstm import (
+        LANES as L_LANES,
+        N_LROWS,
+        T_CHUNK as T_CHUNK_L,
+        TILE_D as TILE_D_L,
+        lstm_episode,
+    )
+    from citylearn_tpu.ops.pallas_thermal import N_TROWS
+
+    assert lstm_packable(cfg, params), \
+        "configuration not eligible for the LSTM fast path"
+    S = (cfg.time_steps - 1) if n_steps is None else n_steps
+    assert n_districts % TILE_D_L == 0
+    B = cfg.n_buildings
+    lookback, L, H, F, tc, cc, hc = cfg.dyn_groups[0]
+    dyn = params.dynamics[0]
+
+    ser = params.series
+    t_pad = ((S + T_CHUNK_L - 1) // T_CHUNK_L) * T_CHUNK_L
+
+    def stream(arr, fill=0.0):
+        a = _pad_b(np.asarray(arr, np.float32), fill)
+        out = np.full((t_pad, L_LANES), fill, np.float32)
+        n = min(a.shape[0], t_pad)
+        out[:n] = a[:n]
+        return jnp.asarray(out)
+
+    band_cfg = cfg.reward_band
+    band_src = (np.full((S, B), band_cfg, np.float32) if band_cfg is not None
+                else np.asarray(ser.comfort_band)[:S])
+    # static channels -> (T, B * F) channel-lane layout, dynamic lanes zero
+    schan = np.zeros((t_pad, L_LANES), np.float32)
+    sc = np.asarray(dyn.static_channels)[:S]                 # (S, B, F)
+    for b in range(B):
+        schan[:S, b * F:(b + 1) * F] = sc[:, b, :]
+        schan[:S, b * F + cc] = 0.0
+        schan[:S, b * F + tc] = 0.0
+
+    series = (
+        stream(ser.non_shiftable_load), stream(ser.solar_generation),
+        stream(ser.electricity_pricing), stream(ser.carbon_intensity),
+        stream(ser.cooling_demand), stream(ser.dhw_demand),
+        stream(ser.outdoor_dry_bulb_temperature),
+        stream(np.asarray(ser.hvac_mode, np.float32)),
+        stream(ser.indoor_dry_bulb_temperature),
+        stream(ser.indoor_dry_bulb_temperature_cooling_set_point),
+        stream(ser.indoor_dry_bulb_temperature_heating_set_point),
+        stream(band_src),
+        jnp.asarray(schan),
+    )
+
+    hours = np.asarray(ser.hour)[:S, 0]
+    actions = []
+    for k in ("cooling_device", "cooling_storage", "dhw_storage",
+              "electrical_storage"):
+        col = np.zeros((t_pad, L_LANES), np.float32)
+        tbl = action_tables.get(k)
+        if tbl is not None:
+            col[:S, :B] = expand_action_plan(tbl, hours, S, B)
+        actions.append(jnp.asarray(col))
+
+    bat = params.battery
+    bparams = jnp.asarray(np.stack([_pad_b(x) for x in (
+        bat.capacity, bat.nominal_power, bat.loss_coefficient,
+        bat.initial_soc, bat.depth_of_discharge, bat.capacity_loss_coefficient,
+        np.zeros(B), np.zeros(B))]))
+    _, _, k1 = _pad_curves_rows(bat.power_efficiency_curve_x,
+                                bat.power_efficiency_curve_y, B)
+    _, _, k2 = _pad_curves_rows(bat.capacity_power_curve_x,
+                                bat.capacity_power_curve_y, B)
+    n_knots = max(k1, k2)
+    pcx, pcy, _ = _pad_curves_rows(bat.power_efficiency_curve_x,
+                                   bat.power_efficiency_curve_y, B, n_knots)
+    ccx, ccy, _ = _pad_curves_rows(bat.capacity_power_curve_x,
+                                   bat.capacity_power_curve_y, B, n_knots)
+    curves = (pcx, pcy, ccx, ccy)
+
+    cd, dd = params.cooling_device, params.dhw_device
+    ct, dt = params.cooling_storage, params.dhw_storage
+    ht = params.heating_storage
+    rows = [
+        _pad_b(cd.nominal_power), _pad_b(cd.efficiency, 1.0),
+        _pad_b(cd.target_cooling_temperature),
+        _pad_b(np.asarray(cd.is_heat_pump, np.float32)),
+        _pad_b(dd.nominal_power), _pad_b(dd.efficiency, 1.0),
+        _pad_b(dd.target_heating_temperature),
+        _pad_b(np.asarray(dd.is_heat_pump, np.float32)),
+        _pad_b(ct.capacity), _pad_b(np.sqrt(np.asarray(ct.efficiency)), 1.0),
+        _pad_b(ct.loss_coefficient), _pad_b(ct.max_input_power, np.inf),
+        _pad_b(ct.max_output_power, np.inf),
+        _pad_b(ct.capacity),
+        _pad_b(dt.capacity), _pad_b(np.sqrt(np.asarray(dt.efficiency)), 1.0),
+        _pad_b(dt.loss_coefficient), _pad_b(dt.max_input_power, np.inf),
+        _pad_b(dt.max_output_power, np.inf),
+        _pad_b(ht.capacity),                       # dhw quirk: building.py:1765
+    ]
+    assert len(rows) == N_TROWS
+    tparams = jnp.asarray(np.stack(rows))
+
+    # ---- LSTM packing ----
+    nmin = np.asarray(dyn.norm_min)                # (B, F)
+    nmax = np.asarray(dyn.norm_max)
+    lrows = np.zeros((N_LROWS, L_LANES), np.float32)
+    # pad-lane norm spans stay 1.0: a 0/0 NaN in a dead lane would poison
+    # the one-hot channel-scatter matmuls (NaN * 0 = NaN)
+    lrows[1, :] = 1.0
+    lrows[3, :] = 1.0
+    lrows[0, :B] = nmin[:, cc]
+    lrows[1, :B] = nmax[:, cc] - nmin[:, cc]
+    lrows[2, :B] = nmin[:, tc]
+    lrows[3, :B] = nmax[:, tc] - nmin[:, tc]
+    lrows[4, :B] = np.asarray(dyn.lin_b)
+    lrows[5, :B] = np.asarray(dyn.cooling_device_active, np.float32)
+    lrows[6, :B] = 1.0
+
+    w_ih = [np.asarray(w) for w in dyn.w_ih]       # l0: (B,4H,F); l1: (B,4H,H)
+    w_hh = [np.asarray(w) for w in dyn.w_hh]
+    biases = [np.asarray(b) for b in dyn.bias]
+    W = [np.zeros((2 * L_LANES, 4 * L_LANES), np.float32) for _ in range(2)]
+    bias_rows = np.zeros((2, 4 * L_LANES), np.float32)
+    for b in range(B):
+        for g in range(4):
+            for j in range(H):
+                col = g * L_LANES + b * H + j
+                W[0][b * F:(b + 1) * F, col] = w_ih[0][b, g * H + j, :]
+                W[0][L_LANES + b * H:L_LANES + (b + 1) * H, col] = \
+                    w_hh[0][b, g * H + j, :]
+                W[1][b * H:(b + 1) * H, col] = w_ih[1][b, g * H + j, :]
+                W[1][L_LANES + b * H:L_LANES + (b + 1) * H, col] = \
+                    w_hh[1][b, g * H + j, :]
+                bias_rows[0, col] = biases[0][b, g * H + j]
+                bias_rows[1, col] = biases[1][b, g * H + j]
+    linw = np.zeros((L_LANES, L_LANES), np.float32)
+    lw = np.asarray(dyn.lin_w)
+    for b in range(B):
+        linw[b * H:(b + 1) * H, b] = lw[b]
+    pcc = np.zeros((L_LANES, L_LANES), np.float32)
+    ptc = np.zeros((L_LANES, L_LANES), np.float32)
+    tmask = np.zeros((1, L_LANES), np.float32)
+    for b in range(B):
+        pcc[b, b * F + cc] = 1.0
+        ptc[b, b * F + tc] = 1.0
+        tmask[0, b * F + tc] = 1.0
+
+    D = n_districts
+    tile = lambda v: jnp.asarray(
+        np.broadcast_to(_pad_b(np.asarray(v))[None, :], (D, L_LANES)).copy())
+    out = lstm_episode(
+        tuple(actions), series, bparams, curves, tparams,
+        jnp.asarray(lrows), jnp.asarray(W[0]), jnp.asarray(W[1]),
+        jnp.asarray(bias_rows), jnp.asarray(linw), jnp.asarray(pcc),
+        jnp.asarray(ptc), jnp.asarray(tmask),
+        tile(ct.initial_soc), tile(dt.initial_soc),
+        tile(bat.initial_soc), tile(bat.efficiency), tile(bat.capacity),
+        n_steps=S, hours_ratio=cfg.seconds_per_time_step / 3600.0,
+        ratio=cfg.time_step_ratio, n_knots=n_knots, lookback=int(lookback),
+        lo_exp=float(cfg.reward_lower_exponent),
+        hi_exp=float(cfg.reward_higher_exponent),
+        record=record_series, interpret=interpret)
+    sliced = tuple(o[:, :B] for o in out[:9])
+    if record_series:
+        sliced = sliced + (out[9][:, :S, :B],)
+    return sliced
+
+
 def run_thermal_episode(cfg: StaticConfig, params: DistrictParams,
                         n_districts: int, action_tables: dict,
                         n_steps: Optional[int] = None,

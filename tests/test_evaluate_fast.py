@@ -84,6 +84,37 @@ def test_thermal_2021_full_table():
     _compare(cfg, params, ScriptedPolicy(dict(THERMAL_TABLES)))
 
 
+def test_lstm_2023_full_table():
+    """The LSTM-dynamics kernel family through the user-facing evaluate
+    dispatch, with the partial-load counterfactual baseline."""
+    cfg, params = _env("citylearn_challenge_2023_phase_1", None)
+    assert kernel_family(cfg) == "lstm"
+    policy = ScriptedPolicy({
+        "cooling_device": np.where(np.arange(1, 25) < 12, 0.8, 0.4
+                                   ).astype(np.float32),
+        "dhw_storage": np.full(24, 0.05, np.float32),
+        "electrical_storage": np.where(np.arange(1, 25) < 9, 0.091, -0.08
+                                       ).astype(np.float32),
+    })
+    states = batched_initial_states(cfg, params, 2)
+    slow = evaluate_districts(
+        cfg, params, states,
+        policy.as_policy_fn(cfg, params, cfg.time_steps - 1),
+        baseline_condition="_without_storage_and_partial_load")
+    fast = evaluate_scripted(
+        cfg, params, policy,
+        baseline_condition="_without_storage_and_partial_load",
+        interpret=True)
+    assert set(slow) == set(fast)
+    for k in sorted(slow):
+        a = np.asarray(slow[k])[0]
+        b = np.asarray(fast[k])
+        # the LSTM temperature path is matmul-order sensitive in float32
+        np.testing.assert_allclose(
+            a, b, rtol=5e-4, atol=5e-4, equal_nan=True,
+            err_msg=f"KPI mismatch in {k}")
+
+
 def test_evaluate_districts_dispatches_to_kernel(monkeypatch):
     """evaluate_districts hands ScriptedPolicy + eligible config to the
     kernel path (user-facing API surface, VERDICT r3 #1)."""
