@@ -15,12 +15,16 @@ Matrix (VERDICT r2 #3 — the full perf envelope, not just the friendliest
 config; disable with BENCH_MATRIX=0):
 - citylearn_challenge_2021 (9 buildings, heat pumps + 3 thermal storages)
   on the whole-episode Pallas THERMAL kernel (ops/pallas_thermal.py),
-- citylearn_challenge_2023_phase_1 (LSTM dynamics) on the XLA scan,
+- citylearn_challenge_2023_phase_1 (LSTM dynamics) on the whole-episode
+  Pallas LSTM kernel (ops/pallas_lstm.py), tiled to a year-long horizon
+  (tools/synth_lstm_year.py), XLA scan as the parent fallback,
 - citylearn_challenge_2022_phase_all_plus_evs (chargers + washing machine)
   on the whole-episode Pallas EV kernel (ops/pallas_ev.py), run in the
   Pallas child process like the other two kernels, with the XLA scan as
   the parent-process fallback,
-plus a BatchedSAC train-step throughput row (env collect + replay + update).
+plus a BatchedSAC train-step throughput row (env collect + replay +
+update; one obs encode per step with the carried-encoding optimization)
+and the user-facing kernel-backed evaluate row (eval_fast).
 
 Baseline denominator: the reference CityLearn's measured single-env CPU
 throughput (tests/golden/reference_perf.json via tools/make_golden.py).
@@ -441,7 +445,7 @@ def main():
         if not is_child:
             try:
                 sps, meta = _bench_train_step(
-                    schema, int(os.environ.get("BENCH_D_TRAIN", "1024")), mreps)
+                    schema, int(os.environ.get("BENCH_D_TRAIN", "2048")), mreps)
                 matrix["sac_train_step"] = {
                     "district_steps_per_sec": round(sps, 1), **meta}
             except Exception as e:  # pragma: no cover

@@ -305,7 +305,13 @@ class Simulator:
                 "--fast requires an open-loop agent (hour-RBC family or "
                 "Baseline); closed-loop policies need the general path")
 
+        # default baseline condition matches the host evaluate(): dynamics
+        # buildings normalize against the no-storage-and-ideal-load
+        # baseline (citylearn.py:1194-1201)
+        baseline = ("_without_storage_and_partial_load"
+                    if cfg.has_dynamics else "_without_storage")
         table, rec = evaluate_scripted(cfg, params, policy,
+                                       baseline_condition=baseline,
                                        return_series=True)
         rec = np.asarray(rec, np.float64)
 
@@ -344,10 +350,17 @@ class Simulator:
                         fin(np.maximum(bal, 0.0)),
                 }
             else:
+                # the thermal and LSTM kernels share the first nine
+                # record-row indices (net, balances, SOCs, outputs)
                 from citylearn_tpu.ops.pallas_thermal import (
                     R_BBAL, R_BSOC, R_CBAL, R_COUT, R_CSOC, R_DBAL, R_DOUT,
                     R_DSOC, R_NET)
                 bal = rec[R_BBAL, :, i]
+                data_end = lambda arr: np.asarray(arr, np.float64)[S:S + 1, i]
+                # the demand-met histories' final unwritten row reads the
+                # DATA demand (envs/environment._sync_unwritten_row)
+                fin_d = lambda col, arr: np.concatenate(
+                    [col, data_end(arr)]).tolist()
                 cols = {
                     "net_electricity_consumption": fin(rec[R_NET, :, i]),
                     "electrical_storage_electricity_consumption":
@@ -355,13 +368,21 @@ class Simulator:
                     "electrical_storage_soc": fin(rec[R_BSOC, :, i]),
                     "cooling_storage_soc": fin(rec[R_CSOC, :, i]),
                     "dhw_storage_soc": fin(rec[R_DSOC, :, i]),
-                    "energy_from_cooling_device": fin(rec[R_COUT, :, i]),
-                    "energy_from_dhw_device": fin(rec[R_DOUT, :, i]),
+                    "energy_from_cooling_device":
+                        fin_d(rec[R_COUT, :, i], ser.cooling_demand),
+                    "energy_from_dhw_device":
+                        fin_d(rec[R_DOUT, :, i], ser.dhw_demand),
                     "energy_from_cooling_storage":
                         fin(np.maximum(-rec[R_CBAL, :, i], 0.0)),
                     "energy_from_dhw_storage":
                         fin(np.maximum(-rec[R_DBAL, :, i], 0.0)),
                 }
+                if family == "lstm":
+                    from citylearn_tpu.ops.pallas_lstm import R_CDEM, R_TEMP
+                    cols["indoor_dry_bulb_temperature"] = fin_d(
+                        rec[R_TEMP, :, i], ser.indoor_dry_bulb_temperature)
+                    cols["cooling_demand"] = fin_d(rec[R_CDEM, :, i],
+                                                   ser.cooling_demand)
             cols["non_shiftable_load"] = np.asarray(
                 ser.non_shiftable_load, np.float64)[:S + 1, i].tolist()
             series_out[n] = cols

@@ -625,16 +625,32 @@ def compile_schema(schema_path_or_dict, root_directory: str = None, **overrides)
             kwargs = block.get("autosize_attributes") or {}
             safety = kwargs.get("safety_factor")
             safety = 1.0 if safety is None else float(safety)
-            demand = series[
+            # reference dtype flow (energy_model.py:309-352 under NumPy 2):
+            # f32 demand series * STRONG np.float64 time_step_ratio -> f64;
+            # the Carnot COP over the f32 outdoor array with weak Python
+            # float parameters stays FLOAT32; f64/f32 -> f64; the autosized
+            # result is stored as np.float32 — one f32 rounding at the end
+            demand64 = np.asarray(series[
                 {"cooling_device": "cooling_demand", "heating_device": "heating_demand",
-                 "dhw_device": "dhw_demand"}[demand_key]][sim_sl] * time_step_ratio
+                 "dhw_device": "dhw_demand"}[demand_key]][sim_sl],
+                np.float64) * float(time_step_ratio)
             if dev.is_heat_pump:
-                from citylearn_tpu.compiler.spaces import heat_pump_cop_np
-                target = dev.target_heating_temperature if heating else dev.target_cooling_temperature
-                cop = heat_pump_cop_np(outdoor_t, dev.efficiency, target, heating)
-                dev.nominal_power = float(np.nanmax(np.asarray(demand) / cop) * safety)
+                target = (dev.target_heating_temperature if heating
+                          else dev.target_cooling_temperature)
+                t32 = np.asarray(outdoor_t, np.float32)
+                denom = np.asarray((target - t32) if heating
+                                   else (t32 - target), np.float32)
+                num = dev.efficiency * (target + 273.15)     # weak py float
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cop = (num / denom).astype(np.float32)
+                cop[cop < 0] = 20
+                cop[cop > 20] = 20
+                cop[~np.isfinite(cop)] = 20
+                dev.nominal_power = float(np.float32(
+                    np.nanmax(demand64 / cop) * safety))
             else:
-                dev.nominal_power = float(np.nanmax(np.asarray(demand) / dev.efficiency) * safety)
+                dev.nominal_power = float(np.float32(
+                    np.nanmax(demand64 / dev.efficiency) * safety))
 
         def _autosize_tank(block, tank: StorageTankSpec, demand_key: str, seed):
             if not (block or {}).get("autosize"):

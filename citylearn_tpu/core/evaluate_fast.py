@@ -59,21 +59,19 @@ class ScriptedPolicy:
     def from_hour_rbc(cls, agent, n_buildings: int) -> "ScriptedPolicy":
         """Build (24, B) plans from an :class:`citylearn_tpu.agents.rbc.HourRBC`
         agent's resolved per-building hour maps (reference
-        ``agents/rbc.py:80-136``)."""
+        ``agents/rbc.py:80-136``). A central agent carries ONE name-keyed
+        map shared by every building."""
         plans: Dict[str, np.ndarray] = {}
         maps = agent.action_map
-        names_per_agent = agent.action_names
-        for b, (m, names) in enumerate(zip(maps, names_per_agent)):
-            for name in names:
-                key = name if name in ACTION_KEYS else None
-                if key is None:
-                    continue
-                table = m.get(name)
-                if table is None:
+        if len(maps) == 1 and n_buildings > 1:
+            maps = maps * n_buildings           # central: shared hour map
+        for b, m in enumerate(maps):
+            for name, table in m.items():
+                if name not in ACTION_KEYS or table is None:
                     continue
                 col = np.asarray([table[h] for h in range(1, 25)], np.float32)
-                plan = plans.setdefault(key, np.zeros((24, n_buildings),
-                                                      np.float32))
+                plan = plans.setdefault(name, np.zeros((24, n_buildings),
+                                                       np.float32))
                 plan[:, b] = col
         return cls(plans)
 

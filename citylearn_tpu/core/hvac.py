@@ -56,14 +56,21 @@ def device_cop(dev: HVACParams, outdoor_t: jnp.ndarray, heating: bool,
 
 
 def input_power(dev: HVACParams, output: jnp.ndarray, outdoor_t: jnp.ndarray,
-                heating: bool, parity: bool = False) -> jnp.ndarray:
-    """Electric input for thermal ``output`` (``energy_model.py:283-307,403-423``)."""
+                heating: bool, parity: bool = False,
+                round_result: bool = True) -> jnp.ndarray:
+    """Electric input for thermal ``output`` (``energy_model.py:283-307,403-423``).
+
+    ``round_result=False`` keeps the division unrounded in parity mode —
+    the reference's division dtype follows the OBJECT dtype of ``output``
+    (a float64 ``get_max_output_power`` product stays float64 end to end;
+    a float32 demand-series value makes it float32). Callers that know
+    which object won a ``min()`` select per value."""
     hp_in = output / heat_pump_cop(dev, outdoor_t, heating, parity)
     heater_in = output / dev.efficiency
     res = jnp.where(dev.is_heat_pump, hp_in, heater_in)
     # the reference's output operand is float32 in the common paths (demand
     # series / float32 consumption stores), making the division float32
-    return _r32(res) if parity else res
+    return _r32(res) if (parity and round_result) else res
 
 
 def max_output_power(dev: HVACParams, outdoor_t: jnp.ndarray, heating: bool,

@@ -195,10 +195,10 @@ def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
                    interpret: bool = False):
     """Whole-episode rollout on the EV kernel
     (:func:`citylearn_tpu.ops.pallas_ev.ev_episode`) for ``n_districts``
-    identical district copies; ``action_tables``: hour-indexed (24,)
-    tables for ``electrical_storage`` / ``electric_vehicle_storage`` /
-    ``washing_machine`` (the per-step value broadcasts across chargers /
-    machines; missing keys act 0).
+    identical district copies; ``action_tables``: open-loop plans per
+    action class — ``electrical_storage`` ((24,) | (S,) | (S, B) over
+    buildings), ``electric_vehicle_storage`` (... over the C chargers),
+    ``washing_machine`` (... over the W machines); missing keys act 0.
 
     Returns (reward_sum, cost_sum, emission_sum, battery_soc, battery_eff,
     battery_degraded, ev_soc, ev_eff, ev_degraded, wm_initiated) — the
@@ -253,12 +253,13 @@ def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
 
     hours = np.asarray(ser.hour)[:S, 0]
     actions = []
-    for k in ("electrical_storage", "electric_vehicle_storage",
-              "washing_machine"):
-        col = np.zeros(t_pad, np.float32)
+    for k, n in (("electrical_storage", B),
+                 ("electric_vehicle_storage", C),
+                 ("washing_machine", max(W, 1))):
+        col = np.zeros((t_pad, LANES), np.float32)
         tbl = action_tables.get(k)
         if tbl is not None:
-            col[:S] = np.asarray(tbl, np.float32)[hours - 1]
+            col[:S, :n] = expand_action_plan(tbl, hours, S, n)
         actions.append(jnp.asarray(col))
 
     bat = params.battery
@@ -346,10 +347,13 @@ def eligible_lstm(cfg: StaticConfig) -> bool:
     outage/EVs/WMs/occupants. Data-level conditions (single group covering
     every building, two LSTM layers, packable channel widths, inert
     heating) are checked by :func:`run_lstm_episode`."""
+    # central_agent is allowed: it only changes reward AGGREGATION and
+    # observation layout, not physics — the kernel's reward_sum output is
+    # per-building either way (sum host-side for the central scalar)
     return (cfg.has_dynamics and len(cfg.dyn_groups) == 1
             and not cfg.has_occupant and not cfg.has_evs
             and not cfg.has_washing_machines and not cfg.any_outage
-            and not cfg.has_charging_constraints and not cfg.central_agent
+            and not cfg.has_charging_constraints
             and cfg.reward_per_building is None
             and cfg.reward_type == "ComfortReward")
 

@@ -92,15 +92,29 @@ def _thermal_block(dev, tank, soc_prev, demand, action, outdoor_t, heating: bool
     energy_req = action * conv_capacity * (hours_ratio if hours_ratio_applies else 1.0)
     ratio = cfg.time_step_ratio
     r32 = _store_rounder(cfg)
-    if cfg.parity_f64:
-        # action * capacity rounds to float32 when the capacity is itself
-        # np.float32 (autosized tanks; building.py:1663 with
-        # energy_model.py:793's np.nanmax over the f32 demand series)
-        energy_req = jnp.where(conv_npf32,
-                               energy_req.astype(jnp.float32).astype(energy_req.dtype),
-                               energy_req)
+    # action * capacity stays FLOAT64 in the reference: actions reach
+    # update_<end_use>_storage as np.float64 scalars (verified through
+    # _parse_actions, citylearn.py:1063-1134), and np.float64 * np.float32
+    # promotes to float64 — no rounding even for np.float32 autosized
+    # capacities. (Only a weak Python-float action would round; the
+    # list-of-np.float64 Gym interface never produces one.)
     round_tank = lambda tr: tr._replace(soc=r32(tr.soc),
                                         energy_balance=r32(tr.energy_balance))
+
+    # The reference's ``min(demand, max_output)`` is a Python builtin min
+    # over mixed-dtype numpy scalars: the float32 demand-series object vs
+    # the float64 ``get_max_output_power`` product. Whichever OBJECT wins
+    # sets the downstream division dtype — a saturated device stores an
+    # UNROUNDED float64 consumption, an unsaturated one a float32-rounded
+    # value (building.py:1641-1661 with energy_model.py:281,301). Emulate
+    # by selecting the rounding per value in parity mode.
+    def dev_cons(out, max_out, demand_side):
+        raw = jnp.maximum(0.0, hvac.input_power(dev, out, outdoor_t, heating,
+                                                cfg.parity_f64,
+                                                round_result=False))
+        if not cfg.parity_f64:
+            return raw
+        return jnp.where(demand_side <= max_out, r32(raw), raw)
 
     # ---- variant A: device first, then storage charge (action >= 0) ----
     # update_energy_from_<end_use>_device (building.py:1641-1661): storage
@@ -109,8 +123,7 @@ def _thermal_block(dev, tank, soc_prev, demand, action, outdoor_t, heating: bool
     max_out1 = hvac.max_output_power(dev, outdoor_t, heating, flex1, dev_cons_init,
                                      cfg.parity_f64)
     out_A = jnp.minimum(demand, max_out1)
-    cons_dev_A = r32(jnp.maximum(0.0, hvac.input_power(dev, out_A, outdoor_t, heating,
-                                                       cfg.parity_f64)))
+    cons_dev_A = dev_cons(out_A, max_out1, demand)
     # update_<end_use>_storage charging branch (building.py:1663-1687):
     # clamp by the device's max output given consumption booked so far.
     flex2 = _flex(outage, solar_abs, cons_accum + cons_dev_A)
@@ -133,16 +146,19 @@ def _thermal_block(dev, tank, soc_prev, demand, action, outdoor_t, heating: bool
     max_out_B = hvac.max_output_power(dev, outdoor_t, heating, flex_B,
                                       dev_cons_init + cons_store_B, cfg.parity_f64)
     # demand(f32 store) - storage_output(f32 store) rounds f32 in the ref
-    out_B = jnp.minimum(r32(demand - storage_out_B), max_out_B)
-    cons_dev_B = r32(jnp.maximum(0.0, hvac.input_power(dev, out_B, outdoor_t, heating,
-                                                       cfg.parity_f64)))
+    residual_B = r32(demand - storage_out_B)
+    out_B = jnp.minimum(residual_B, max_out_B)
+    cons_dev_B = dev_cons(out_B, max_out_B, residual_B)
 
     discharging = action < 0.0
     pick = lambda a, b: jnp.where(discharging, b, a)
     soc = pick(tank_A.soc, tank_B.soc)
     balance = pick(tank_A.energy_balance, tank_B.energy_balance)
     device_output = pick(out_A, out_B)
-    apply_cons = pick(r32(cons_dev_A + cons_store_A), r32(cons_dev_B + cons_store_B))
+    # no store-rounding on the sum: the reference's per-device
+    # electricity_consumption arrays are float64 and the saturated-device
+    # term keeps its unrounded float64 value (see dev_cons above)
+    apply_cons = pick(cons_dev_A + cons_store_A, cons_dev_B + cons_store_B)
     return (_ThermalResult(soc=soc, balance=balance, device_output=device_output,
                            apply_consumption=apply_cons),
             cons_accum + apply_cons)
@@ -486,11 +502,13 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     else:
         uv_dhw = zero
 
-    cool_total = r32(cool_cons + t0(reset_cool + uv_cool))
-    heat_total = r32(heat_cons + t0(reset_heat + uv_heat))
-    dhw_total = r32(dhw_cons + t0(reset_dhw + uv_dhw))
-    nsl_total = r32(nsl_met + t0(reset_nsl + nsl_met))
-    bat_total = r32(bat_cons + t0(bat_balance))
+    # the per-device electricity_consumption arrays are float64 in the
+    # reference — only the net store rounds to float32 (building.py:2559)
+    cool_total = cool_cons + t0(reset_cool + uv_cool)
+    heat_total = heat_cons + t0(reset_heat + uv_heat)
+    dhw_total = dhw_cons + t0(reset_dhw + uv_dhw)
+    nsl_total = nsl_met + t0(reset_nsl + nsl_met)
+    bat_total = bat_cons + t0(bat_balance)
 
     solar_neg = r32(-solar_abs)
     net = (cool_total + heat_total + dhw_total + nsl_total + bat_total + solar_neg

@@ -29,8 +29,10 @@ def tank_charge(sp: StorageTankParams, soc_prev: jnp.ndarray, energy: jnp.ndarra
 
     ``parity_f64``: the reference reads ``soc`` as an np.float32 scalar, so
     ``soc * capacity`` (``energy_model.py:666``) rounds to float32 when the
-    capacity is a weak Python float (schema literal); autosized capacities
-    are strong np.float64 and keep the chain in float64 (NumPy 2 / NEP 50).
+    capacity is a weak Python float (schema literal, NEP 50) OR itself an
+    np.float32 (tank autosize = ``np.nanmax`` over the float32 demand
+    series, ``energy_model.py:793``); only a strong np.float64 capacity
+    keeps the chain in float64.
     """
     energy = energy * time_step_ratio
     energy = jnp.where(energy >= 0.0,
@@ -41,7 +43,10 @@ def tank_charge(sp: StorageTankParams, soc_prev: jnp.ndarray, energy: jnp.ndarra
     cap = sp.capacity
     soc_cap = soc_prev * cap
     if parity_f64:
-        soc_cap = jnp.where(sp.capacity_weak,
+        rounds_f32 = sp.capacity_weak
+        if sp.capacity_npf32 is not None:
+            rounds_f32 = rounds_f32 | sp.capacity_npf32
+        soc_cap = jnp.where(rounds_f32,
                             soc_cap.astype(jnp.float32).astype(soc_cap.dtype),
                             soc_cap)
     energy_init = jnp.maximum(0.0, soc_cap * (1.0 - sp.loss_coefficient))

@@ -25,7 +25,10 @@ battery charge with SOC events (force-set / unconnected drift,
 (``reward_function.py:389-517``).
 
 Lane layout: buildings, chargers, EVs and washing machines each occupy
-the first B/C/V/W lanes of their own 128-lane tiles.
+the first B/C/V/W lanes of their own 128-lane tiles. Actions are
+per-step per-target (T, lane) open-loop streams — per-building battery
+plans, PER-CHARGER EV plans and per-machine triggers — not scalars
+broadcast across targets.
 """
 
 from __future__ import annotations
@@ -53,7 +56,7 @@ LANES = 128
 (EV_CAP, EV_NOM, EV_LOSS, EV_INIT, EV_DOD, EV_CLC, N_EVROWS) = range(7)
 
 
-def _episode_kernel(abat_ref, aev_ref, awm_ref,      # scalar prefetch (S_pad,)
+def _episode_kernel(abat_hbm, aev_hbm, awm_hbm,      # (T, B/C/W) action plans
                     # HBM streams
                     nsl_hbm, solar_hbm, price_hbm, carbon_hbm,   # (T, B)
                     conn_hbm, req_hbm, dep_hbm,                  # (T, C)
@@ -77,6 +80,7 @@ def _episode_kernel(abat_ref, aev_ref, awm_ref,      # scalar prefetch (S_pad,)
                     soc_ref, eff_ref, deg_ref,
                     evsoc_ref, eveff_ref, evdeg_ref, wmi_ref,
                     # scratch
+                    abat_buf, aev_buf, awm_buf,
                     nsl_buf, solar_buf, price_buf, carbon_buf,
                     conn_buf, req_buf, dep_buf, force_buf, drift_buf,
                     wms_buf, wme_buf, wml_buf,
@@ -102,7 +106,8 @@ def _episode_kernel(abat_ref, aev_ref, awm_ref,      # scalar prefetch (S_pad,)
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
 
     n_chunks = pl.cdiv(n_steps, T_CHUNK)
-    streams = [(nsl_hbm, nsl_buf), (solar_hbm, solar_buf),
+    streams = [(abat_hbm, abat_buf), (aev_hbm, aev_buf), (awm_hbm, awm_buf),
+               (nsl_hbm, nsl_buf), (solar_hbm, solar_buf),
                (price_hbm, price_buf), (carbon_hbm, carbon_buf),
                (conn_hbm, conn_buf), (req_hbm, req_buf), (dep_hbm, dep_buf),
                (force_hbm, force_buf), (drift_hbm, drift_buf),
@@ -134,9 +139,9 @@ def _episode_kernel(abat_ref, aev_ref, awm_ref,      # scalar prefetch (S_pad,)
             (soc, eff, deg, evsoc, eveff, evdeg, wmi, wprev_s, wprev_e,
              rew, cost, emis) = carry
             t = ci * T_CHUNK + tl
-            a_bat = abat_ref[t]
-            a_ev = aev_ref[t]
-            a_wm = awm_ref[t]
+            a_bat = abat_buf[slot, tl, :][None, :]
+            a_ev = aev_buf[slot, tl, :][None, :]
+            a_wm = awm_buf[slot, tl, :][None, :]
             nsl = nsl_buf[slot, tl, :][None, :]
             solar = solar_buf[slot, tl, :][None, :]
             price = price_buf[slot, tl, :][None, :]
@@ -201,10 +206,10 @@ def _episode_kernel(abat_ref, aev_ref, awm_ref,      # scalar prefetch (S_pad,)
                                          preferred_element_type=jnp.float32)
             connected = conn >= 0.0
 
-            # ---- charger energy request (step.py:350-363); the scalar
-            # per-step action broadcasts across chargers (pad lanes are
-            # inert: zero power limits and conn = -1) ----
-            a_c = jnp.zeros_like(conn) + a_ev
+            # ---- charger energy request (step.py:350-363); per-charger
+            # (1, C) action row (pad lanes are inert: zero power limits
+            # and conn = -1) ----
+            a_c = a_ev
             chg = a_c > 0.0
             e_chg_c = jnp.maximum(jnp.minimum(a_c * maxc * hours_ratio, maxc),
                                   minc)
@@ -410,25 +415,26 @@ def ev_episode(actions: Tuple[jnp.ndarray, ...],
                interpret: bool = False):
     """Full episode for a (D, B/C/V/W-lane) EV district batch.
 
-    actions: 3 x (S_pad,) scalars (electrical_storage, electric_vehicle
-    action shared across chargers, washing_machine); series: 12 x
+    actions: 3 x (T_pad, 128) per-step per-target open-loop plans
+    (electrical_storage over building lanes, electric_vehicle_storage
+    over charger lanes, washing_machine over machine lanes); series: 12 x
     (T_pad, 128) streams; state0: 7 x (D, 128). Returns (reward, cost,
     emission sums + final battery/EV/WM state), each (D, 128)."""
     D = state0[0].shape[0]
     grid = (D // TILE_D,)
-    state_spec = pl.BlockSpec((TILE_D, LANES), lambda i, *_: (i, 0),
+    state_spec = pl.BlockSpec((TILE_D, LANES), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
     out_shapes = [jax.ShapeDtypeStruct((D, LANES), jnp.float32)] * 10
     hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=0,
         grid=grid,
-        in_specs=[hbm_spec] * 12 + [small] * 17 + [state_spec] * 7,
+        in_specs=[hbm_spec] * 15 + [small] * 17 + [state_spec] * 7,
         out_specs=[state_spec] * 10,
-        scratch_shapes=[pltpu.VMEM((2, T_CHUNK, LANES), jnp.float32)] * 12
-        + [pltpu.SemaphoreType.DMA((2, 12))],
+        scratch_shapes=[pltpu.VMEM((2, T_CHUNK, LANES), jnp.float32)] * 15
+        + [pltpu.SemaphoreType.DMA((2, 15))],
     )
     kernel = functools.partial(
         _episode_kernel, n_steps=n_steps, hours_ratio=hours_ratio,

@@ -91,6 +91,11 @@ class TrainState(NamedTuple):
     replay_full: jnp.ndarray          # scalar bool
     key: jnp.ndarray
     step: jnp.ndarray
+    # encoded observations of env_state, carried so the fused train step
+    # encodes ONCE per step instead of twice (next_obs(t) == obs(t+1)
+    # except on per-district resets, re-encoded under a rare lax.cond);
+    # None for subclasses that manage their own observation flow
+    cur_obs: jnp.ndarray = None
 
 
 class BatchedSAC:
@@ -230,7 +235,8 @@ class BatchedSAC:
             replay_done=jnp.zeros((S, D), jnp.float32),
             replay_pos=jnp.asarray(0, jnp.int32),
             replay_full=jnp.asarray(False),
-            key=key, step=jnp.asarray(0, jnp.int32))
+            key=key, step=jnp.asarray(0, jnp.int32),
+            cur_obs=self._encoded_obs(env_state))
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             repl = NamedSharding(self.mesh, P())
@@ -250,7 +256,9 @@ class BatchedSAC:
             replay_act=jax.device_put(state.replay_act, shard_d1),
             replay_rew=jax.device_put(state.replay_rew, shard_d1),
             replay_next=jax.device_put(state.replay_next, shard_d1),
-            replay_done=jax.device_put(state.replay_done, shard_d1))
+            replay_done=jax.device_put(state.replay_done, shard_d1),
+            cur_obs=(None if state.cur_obs is None else
+                     jax.device_put(state.cur_obs, shard_d0)))
 
     # ------------------------------------------------------------------
     def _encoded_obs(self, env_state):
@@ -337,7 +345,7 @@ class BatchedSAC:
         def one_step(ts: TrainState, _):
             key, k_act, k_expl, k_sample, k_upd, k_reset = \
                 jax.random.split(ts.key, 6)
-            obs = self._encoded_obs(ts.env_state)              # (D, A, K)
+            obs = ts.cur_obs                                   # (D, A, K)
 
             a_pi, _, _ = sample_policy(ts.nets.policy, obs,
                                        jax.random.split(k_act, A),
@@ -360,6 +368,13 @@ class BatchedSAC:
             pick_reset = lambda cur, res: jnp.where(
                 terminated.reshape((D,) + (1,) * (cur.ndim - 1)), res, cur)
             env_state = jax.tree_util.tree_map(pick_reset, env_state, env_reset)
+            # next iteration's obs: identical to next_obs except for the
+            # (rare) reset districts, re-encoded only when one terminated
+            cur_obs_next = jax.lax.cond(
+                jnp.any(terminated),
+                lambda: jnp.where(terminated[:, None, None],
+                                  self._encoded_obs(env_state), next_obs),
+                lambda: next_obs)
 
             # store EVERY district's transition at the current slot —
             # one local dynamic_update_slice on the sharded district axis
@@ -396,7 +411,7 @@ class BatchedSAC:
 
             nets = jax.lax.cond(can_update, do_update, lambda n: n, ts.nets)
             ts = ts._replace(env_state=env_state, nets=nets, key=key,
-                             step=ts.step + 1)
+                             step=ts.step + 1, cur_obs=cur_obs_next)
             return ts, jnp.sum(reward)
 
         def chunk(ts: TrainState, n_steps: int):

@@ -84,6 +84,33 @@ def test_thermal_family_cli_fast(tmp_path):
             rtol=5e-5, atol=5e-5, err_msg=var)
 
 
+def test_lstm_family_cli_fast(tmp_path):
+    """2023 LSTM-dynamics family through the CLI fast path vs slow."""
+    schema = ("/root/reference/data/datasets/citylearn_challenge_2023_phase_1/"
+              "schema.json")
+    out = str(tmp_path)
+    for sid, fast in (("slow", False), ("fast", True)):
+        Simulator.evaluate(
+            schema=schema, agent_name="citylearn.agents.rbc.BasicRBC",
+            evaluation_episode_time_steps=(0, 119), simulation_id=sid,
+            output_directory=out, fast=fast)
+    load = lambda sid: json.load(
+        open(os.path.join(out, f"{sid}-evaluation.json")))
+    slow, fast = load("slow"), load("fast")
+    for kpi, cols in fast["kpis"].items():
+        for name, v in cols.items():
+            w = slow["kpis"][kpi].get(name)
+            if v is None or w is None:
+                continue
+            assert abs(v - w) <= 5e-4 * max(1.0, abs(w)), \
+                f"{kpi}/{name}: fast {v} vs slow {w}"
+    b0 = next(iter(fast["time_series"]))
+    for var, vals in fast["time_series"][b0].items():
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(slow["time_series"][b0][var]),
+            rtol=5e-4, atol=5e-3, err_msg=var)
+
+
 def test_fast_rejects_closed_loop_agent(tmp_path):
     with pytest.raises(ValueError, match="open-loop"):
         Simulator.evaluate(
