@@ -3,12 +3,13 @@ the whole-episode Pallas kernels.
 
 The reference's ``evaluate()`` (``citylearn.py:1136-1323``) consumes the
 per-step series the env accumulated while stepping. Here, for
-kernel-eligible configurations (battery+PV 2022 family, thermal 2021
-family) under an *open-loop* policy (hour-indexed RBC tables or arbitrary
-per-building per-step plans), the episode runs as ONE Pallas kernel
-launch with per-step series recording
-(:mod:`citylearn_tpu.ops.pallas_battery` / ``pallas_thermal`` with
-``record=True``); every other KPI input for those configurations is
+kernel-eligible configurations (battery+PV 2022, thermal 2021,
+LSTM-dynamics 2023 and EV/charger/washing-machine plus_evs families)
+under an *open-loop* policy (hour-indexed RBC tables or arbitrary
+per-target per-step plans), the episode runs as ONE Pallas kernel
+launch with per-step series recording (``ops/pallas_{battery,thermal,
+lstm,ev}`` with ``record=True``); every other KPI input for those
+configurations is
 data-driven, so the recorded (net, balances, SOCs, outputs) streams are
 sufficient to assemble the exact ``collected`` dict of
 :func:`citylearn_tpu.core.evaluate.collect_episode` and reuse
@@ -38,6 +39,8 @@ from citylearn_tpu.core.types import DistrictParams, StaticConfig
 #: action names a scripted plan may script, per kernel family
 BATTERY_KEYS = ("electrical_storage",)
 THERMAL_KEYS = ("cooling_storage", "dhw_storage", "electrical_storage")
+#: non-building-axis action classes (per-charger / per-machine plans)
+EXTRA_KEYS = ("electric_vehicle_storage", "washing_machine")
 
 
 class ScriptedPolicy:
@@ -50,7 +53,7 @@ class ScriptedPolicy:
     (the fallback for non-eligible configurations)."""
 
     def __init__(self, plans: Dict[str, np.ndarray]):
-        unknown = set(plans) - set(ACTION_KEYS)
+        unknown = set(plans) - set(ACTION_KEYS) - set(EXTRA_KEYS)
         if unknown:
             raise ValueError(f"unknown action names: {sorted(unknown)}")
         self.plans = {k: np.asarray(v, np.float32) for k, v in plans.items()}
@@ -77,15 +80,19 @@ class ScriptedPolicy:
 
     def expanded(self, cfg: StaticConfig, params: DistrictParams,
                  n_steps: int) -> Dict[str, np.ndarray]:
-        """Normalize every plan to (S, B)."""
+        """Normalize every plan to (S, n) over its target axis —
+        buildings for building-level actions, chargers for
+        ``electric_vehicle_storage``, machines for ``washing_machine``."""
         hours = np.asarray(params.series.hour)[:n_steps, 0]
-        B = cfg.n_buildings
         out = {}
         for k, v in self.plans.items():
-            if v.ndim == 2 and v.shape[0] == 24 and v.shape[1] == B:
+            n = {"electric_vehicle_storage": max(cfg.n_chargers, 1),
+                 "washing_machine": max(cfg.n_washing_machines, 1),
+                 }.get(k, cfg.n_buildings)
+            if v.ndim == 2 and v.shape[0] == 24 and v.shape[1] == n:
                 out[k] = v[hours - 1]
             else:
-                out[k] = rollout_fast.expand_action_plan(v, hours, n_steps, B)
+                out[k] = rollout_fast.expand_action_plan(v, hours, n_steps, n)
         return out
 
     def as_policy_fn(self, cfg: StaticConfig, params: DistrictParams,
@@ -97,27 +104,37 @@ class ScriptedPolicy:
         episode step."""
         hours_full = np.asarray(params.series.hour)[:, 0]
         B = cfg.n_buildings
+        widths = {"electric_vehicle_storage": max(cfg.n_chargers, 1),
+                  "washing_machine": max(cfg.n_washing_machines, 1)}
         by_tau, by_t = {}, {}
         for k, v in self.plans.items():
+            n = widths.get(k, B)
             if v.ndim == 1 and v.shape[0] == 24:
                 by_tau[k] = jnp.asarray(
                     np.broadcast_to(v[hours_full - 1][:, None],
-                                    (hours_full.shape[0], B)).copy())
-            elif v.ndim == 2 and v.shape[0] == 24 and v.shape[1] == B:
+                                    (hours_full.shape[0], n)).copy())
+            elif v.ndim == 2 and v.shape[0] == 24 and v.shape[1] == n:
                 by_tau[k] = jnp.asarray(v[hours_full - 1])
             else:
                 hours = hours_full[:n_steps]
                 by_t[k] = jnp.asarray(
-                    rollout_fast.expand_action_plan(v, hours, n_steps, B))
+                    rollout_fast.expand_action_plan(v, hours, n_steps, n))
         zero = jnp.zeros((B,), jnp.float32)
+        keys = list(ACTION_KEYS)
+        if cfg.has_evs:
+            keys.append("electric_vehicle_storage")
+        if cfg.has_washing_machines:
+            keys.append("washing_machine")
 
         def policy(params, st):
             out = {}
-            for k in ACTION_KEYS:
+            for k in keys:
                 if k in by_tau:
                     out[k] = jnp.take(by_tau[k], st.data_offset + st.t, axis=0)
                 elif k in by_t:
                     out[k] = jnp.take(by_t[k], st.t, axis=0)
+                elif k in widths:
+                    out[k] = jnp.zeros((widths[k],), jnp.float32)
                 else:
                     out[k] = zero
             return out
@@ -132,6 +149,8 @@ def kernel_family(cfg: StaticConfig) -> Optional[str]:
         return "thermal"
     if rollout_fast.eligible_lstm(cfg):
         return "lstm"
+    if rollout_fast.eligible_ev(cfg):
+        return "ev"
     return None
 
 
@@ -154,6 +173,17 @@ def _assembler(cfg: StaticConfig, family: str, S: int,
         if family == "battery":
             net, bbal, _soc = rec[0], rec[1], rec[2]
             storage = _with_t0_double(bbal)
+            served = w(ser.non_shiftable_load)
+            cool_met = jnp.zeros_like(net)
+            cool_bal = jnp.zeros_like(net)
+            dhw_met = jnp.zeros_like(net)
+            dhw_bal = jnp.zeros_like(net)
+        elif family == "ev":
+            from citylearn_tpu.ops.pallas_ev import R_BBAL, R_CHC, R_NET
+            net = rec[R_NET]
+            # without_storage subtracts charger consumption too
+            # (building.py:360-366); washing machines are NOT storage
+            storage = _with_t0_double(rec[R_BBAL]) + rec[R_CHC]
             served = w(ser.non_shiftable_load)
             cool_met = jnp.zeros_like(net)
             cool_bal = jnp.zeros_like(net)
@@ -269,6 +299,13 @@ def evaluate_scripted(cfg: StaticConfig, params: DistrictParams,
         from citylearn_tpu.ops.pallas_lstm import TILE_D as TILE_D_L
         D = n_districts or TILE_D_L
         out = rollout_fast.run_lstm_episode(
+            cfg, params, D, plans, n_steps=S, interpret=interpret,
+            record_series=True)
+        rec = out[-1]
+    elif family == "ev":
+        from citylearn_tpu.ops.pallas_ev import TILE_D as TILE_D_E
+        D = n_districts or TILE_D_E
+        out = rollout_fast.run_ev_episode(
             cfg, params, D, plans, n_steps=S, interpret=interpret,
             record_series=True)
         rec = out[-1]

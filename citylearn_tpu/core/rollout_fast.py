@@ -1,7 +1,11 @@
 """Fast-path episode dispatcher: route eligible configurations to the
-whole-episode Pallas kernels (:mod:`citylearn_tpu.ops.pallas_battery` for
-battery+PV districts, :mod:`citylearn_tpu.ops.pallas_thermal` for the
-thermal 2021-family), fall back to the general XLA scan otherwise."""
+whole-episode Pallas kernels — ``ops/pallas_battery`` (battery+PV 2022
+family), ``ops/pallas_thermal`` (thermal 2021 family), ``ops/pallas_lstm``
+(LSTM-dynamics 2023 family), ``ops/pallas_ev`` (EV/charger/washing-machine
+plus_evs family) — falling back to the general XLA scan otherwise. All
+kernels take per-target (T, lane) open-loop action streams and support
+per-step series recording for the kernel-backed KPI evaluation
+(:mod:`citylearn_tpu.core.evaluate_fast`)."""
 
 from __future__ import annotations
 
@@ -192,7 +196,8 @@ def eligible_ev(cfg: StaticConfig) -> bool:
 def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
                    n_districts: int, action_tables: dict,
                    n_steps: Optional[int] = None,
-                   interpret: bool = False):
+                   interpret: bool = False,
+                   record_series: bool = False):
     """Whole-episode rollout on the EV kernel
     (:func:`citylearn_tpu.ops.pallas_ev.ev_episode`) for ``n_districts``
     identical district copies; ``action_tables``: open-loop plans per
@@ -202,7 +207,10 @@ def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
 
     Returns (reward_sum, cost_sum, emission_sum, battery_soc, battery_eff,
     battery_degraded, ev_soc, ev_eff, ev_degraded, wm_initiated) — the
-    first six (D, B), the EV triple (D, V), wm (D, W)."""
+    first six (D, B), the EV triple (D, V), wm (D, W); with
+    ``record_series=True`` an (N_EREC, S, B) per-step stream of district
+    0 is appended (net, raw battery balance/soc, charger and washing-
+    machine consumptions, reward)."""
     from citylearn_tpu.ops.pallas_ev import (
         LANES,
         N_CROWS,
@@ -336,9 +344,12 @@ def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
         ratio=cfg.time_step_ratio, n_knots=n_knots, ev_knots=ev_knots,
         ch_knots=ch_knots, ev_weights=tuple(cfg.ev_reward_weights),
         use_ev_reward=(cfg.reward_type == "Electric_Vehicles_Reward_Function"),
-        interpret=interpret)
+        record=record_series, interpret=interpret)
     slices = (B, B, B, B, B, B, V, V, V, max(W, 1))
-    return tuple(o[:, :n] for o, n in zip(out, slices))
+    sliced = tuple(o[:, :n] for o, n in zip(out, slices))
+    if record_series:
+        sliced = sliced + (out[10][:, :S, :B],)
+    return sliced
 
 
 def eligible_lstm(cfg: StaticConfig) -> bool:

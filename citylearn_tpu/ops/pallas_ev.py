@@ -55,6 +55,9 @@ LANES = 128
 # EV battery parameter rows (V lanes)
 (EV_CAP, EV_NOM, EV_LOSS, EV_INIT, EV_DOD, EV_CLC, N_EVROWS) = range(7)
 
+# recorded per-step series rows (record=True); building-lane layout
+(R_NET, R_BBAL, R_BSOC, R_CHC, R_WMC, R_REW, N_EREC) = range(7)
+
 
 def _episode_kernel(abat_hbm, aev_hbm, awm_hbm,      # (T, B/C/W) action plans
                     # HBM streams
@@ -79,15 +82,23 @@ def _episode_kernel(abat_hbm, aev_hbm, awm_hbm,      # (T, B/C/W) action plans
                     reward_ref, cost_ref, emission_ref,
                     soc_ref, eff_ref, deg_ref,
                     evsoc_ref, eveff_ref, evdeg_ref, wmi_ref,
-                    # scratch
-                    abat_buf, aev_buf, awm_buf,
-                    nsl_buf, solar_buf, price_buf, carbon_buf,
-                    conn_buf, req_buf, dep_buf, force_buf, drift_buf,
-                    wms_buf, wme_buf, wml_buf,
-                    sems,
-                    *, n_steps: int, hours_ratio: float, ratio: float,
+                    *rest,
+                    n_steps: int, hours_ratio: float, ratio: float,
                     n_knots: int, ev_knots: int, ch_knots: int,
-                    ev_weights: Tuple[float, ...], use_ev_reward: bool):
+                    ev_weights: Tuple[float, ...], use_ev_reward: bool,
+                    record: bool):
+    if record:
+        rec_out, = rest[:1]                  # (N_EREC, T_pad, LANES) HBM
+        rest = rest[1:]
+        (abat_buf, aev_buf, awm_buf,
+         nsl_buf, solar_buf, price_buf, carbon_buf,
+         conn_buf, req_buf, dep_buf, force_buf, drift_buf,
+         wms_buf, wme_buf, wml_buf, sems, rec_buf, rec_sem) = rest
+    else:
+        (abat_buf, aev_buf, awm_buf,
+         nsl_buf, solar_buf, price_buf, carbon_buf,
+         conn_buf, req_buf, dep_buf, force_buf, drift_buf,
+         wms_buf, wme_buf, wml_buf, sems) = rest
     cap = bparams_ref[0, :][None, :]
     nominal = bparams_ref[1, :][None, :]
     loss = bparams_ref[2, :][None, :]
@@ -105,6 +116,7 @@ def _episode_kernel(abat_hbm, aev_hbm, awm_hbm,      # (T, B/C/W) action plans
     wm_bld = wm_bld_ref[:, :]
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
 
+    is_tile0 = pl.program_id(0) == 0
     n_chunks = pl.cdiv(n_steps, T_CHUNK)
     streams = [(abat_hbm, abat_buf), (aev_hbm, aev_buf), (awm_hbm, awm_buf),
                (nsl_hbm, nsl_buf), (solar_hbm, solar_buf),
@@ -365,6 +377,15 @@ def _episode_kernel(abat_hbm, aev_hbm, awm_hbm,      # (T, B/C/W) action plans
             else:
                 step_rew = -jnp.maximum(net, 0.0)
 
+            if record:
+                rec_buf[R_NET, pl.ds(tl, 1), :] = net[0:1, :]
+                rec_buf[R_BBAL, pl.ds(tl, 1), :] = bat_balance[0:1, :]
+                rec_buf[R_BSOC, pl.ds(tl, 1), :] = \
+                    jnp.broadcast_to(new_soc, net.shape)[0:1, :]
+                rec_buf[R_CHC, pl.ds(tl, 1), :] = chargers_cons_b[0:1, :]
+                rec_buf[R_WMC, pl.ds(tl, 1), :] = wm_cons_b[0:1, :]
+                rec_buf[R_REW, pl.ds(tl, 1), :] = step_rew[0:1, :]
+
             live = t < n_steps
             keep = lambda new, old: jnp.where(live, new, old)
             rew = keep(rew + step_rew, rew)
@@ -376,7 +397,16 @@ def _episode_kernel(abat_hbm, aev_hbm, awm_hbm,      # (T, B/C/W) action plans
                     keep(wm_s + 0.0, wprev_s), keep(wm_e + 0.0, wprev_e),
                     rew, cost, emis)
 
-        return jax.lax.fori_loop(0, T_CHUNK, step_body, carry)
+        out = jax.lax.fori_loop(0, T_CHUNK, step_body, carry)
+        if record:
+            @pl.when(is_tile0)
+            def _():
+                copy = pltpu.make_async_copy(
+                    rec_buf, rec_out.at[:, pl.ds(ci * T_CHUNK, T_CHUNK), :],
+                    rec_sem)
+                copy.start()
+                copy.wait()
+        return out
 
     zeros = jnp.zeros_like(soc0_ref[:, :])
     zv = jnp.zeros_like(evsoc0_ref[:, :])
@@ -401,7 +431,7 @@ def _episode_kernel(abat_hbm, aev_hbm, awm_hbm,      # (T, B/C/W) action plans
 
 @functools.partial(jax.jit, static_argnames=(
     "n_steps", "hours_ratio", "ratio", "n_knots", "ev_knots", "ch_knots",
-    "ev_weights", "use_ev_reward", "interpret"))
+    "ev_weights", "use_ev_reward", "record", "interpret"))
 def ev_episode(actions: Tuple[jnp.ndarray, ...],
                series: Tuple[jnp.ndarray, ...],
                bparams: jnp.ndarray, curves: Tuple[jnp.ndarray, ...],
@@ -412,7 +442,7 @@ def ev_episode(actions: Tuple[jnp.ndarray, ...],
                n_steps: int, hours_ratio: float, ratio: float,
                n_knots: int, ev_knots: int, ch_knots: int,
                ev_weights: Tuple[float, ...], use_ev_reward: bool,
-               interpret: bool = False):
+               record: bool = False, interpret: bool = False):
     """Full episode for a (D, B/C/V/W-lane) EV district batch.
 
     actions: 3 x (T_pad, 128) per-step per-target open-loop plans
@@ -421,25 +451,34 @@ def ev_episode(actions: Tuple[jnp.ndarray, ...],
     (T_pad, 128) streams; state0: 7 x (D, 128). Returns (reward, cost,
     emission sums + final battery/EV/WM state), each (D, 128)."""
     D = state0[0].shape[0]
+    T_pad = series[0].shape[0]
     grid = (D // TILE_D,)
     state_spec = pl.BlockSpec((TILE_D, LANES), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
     out_shapes = [jax.ShapeDtypeStruct((D, LANES), jnp.float32)] * 10
+    out_specs = [state_spec] * 10
     hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((2, T_CHUNK, LANES), jnp.float32)] * 15 \
+        + [pltpu.SemaphoreType.DMA((2, 15))]
+    if record:
+        out_shapes = out_shapes + [
+            jax.ShapeDtypeStruct((N_EREC, T_pad, LANES), jnp.float32)]
+        out_specs = out_specs + [hbm_spec]
+        scratch = scratch + [pltpu.VMEM((N_EREC, T_CHUNK, LANES), jnp.float32),
+                             pltpu.SemaphoreType.DMA]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=grid,
         in_specs=[hbm_spec] * 15 + [small] * 17 + [state_spec] * 7,
-        out_specs=[state_spec] * 10,
-        scratch_shapes=[pltpu.VMEM((2, T_CHUNK, LANES), jnp.float32)] * 15
-        + [pltpu.SemaphoreType.DMA((2, 15))],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
         _episode_kernel, n_steps=n_steps, hours_ratio=hours_ratio,
         ratio=ratio, n_knots=n_knots, ev_knots=ev_knots, ch_knots=ch_knots,
-        ev_weights=ev_weights, use_ev_reward=use_ev_reward)
+        ev_weights=ev_weights, use_ev_reward=use_ev_reward, record=record)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shapes,
         interpret=interpret,
