@@ -293,11 +293,18 @@ class Simulator:
         if family is None:
             raise ValueError(
                 "--fast requires a kernel-eligible configuration "
-                "(battery+PV or thermal family, no outage/dynamics/EVs); "
-                "run without --fast for the general path")
+                "(battery+PV, thermal, LSTM-dynamics or EV family — no "
+                "outages/occupants/charging constraints); run without "
+                "--fast for the general path")
+        if int(getattr(env, "_offset", 0)) != 0:
+            raise ValueError(
+                "--fast evaluates the default episode window (offset 0); "
+                "this env's episode window starts at sim-range offset "
+                f"{int(env._offset)} — run without --fast")
         agent = self.agent
         if isinstance(agent, HourRBC) and agent.action_map is not None:
-            policy = ScriptedPolicy.from_hour_rbc(agent, cfg.n_buildings)
+            policy = ScriptedPolicy.from_hour_rbc(agent, cfg.n_buildings,
+                                                  spec=env.spec)
         elif isinstance(agent, BaselineAgent):
             policy = ScriptedPolicy({})
         else:
@@ -337,8 +344,14 @@ class Simulator:
         fin = lambda col: np.concatenate([col, [0.0]]).tolist()
         series_out = {}
         for i, n in enumerate(names):
-            if family == "battery":
-                net, bal, soc = rec[0, :, i], rec[1, :, i], rec[2, :, i]
+            if family in ("battery", "ev"):
+                if family == "ev":
+                    from citylearn_tpu.ops.pallas_ev import (
+                        R_BBAL as E_BAL, R_BSOC as E_SOC, R_NET as E_NET)
+                    net, bal, soc = (rec[E_NET, :, i], rec[E_BAL, :, i],
+                                     rec[E_SOC, :, i])
+                else:
+                    net, bal, soc = rec[0, :, i], rec[1, :, i], rec[2, :, i]
                 cols = {
                     "net_electricity_consumption": fin(net),
                     "electrical_storage_electricity_consumption":

@@ -282,9 +282,20 @@ def evaluate_districts(cfg: StaticConfig, params: DistrictParams,
     if isinstance(policy_fn, ScriptedPolicy):
         from citylearn_tpu.core import rollout_fast
 
+        import numpy as np
+
         D = states.t.shape[0]
-        fresh = (bool(jnp.all(states.t == 0))
-                 and bool(jnp.all(states.data_offset == 0)))
+        # the kernel evaluates ONE district from the packed default initial
+        # state and broadcasts — so every district state must EQUAL that
+        # default (a caller's hand-modified SOCs at t=0 would otherwise be
+        # silently ignored); anything else falls back to the scan
+        from citylearn_tpu.core.params import initial_state
+
+        init = initial_state(cfg, params, 0)
+        fresh = all(
+            bool(np.all(np.asarray(s_leaf) == np.asarray(i_leaf)[None]))
+            for s_leaf, i_leaf in zip(jax.tree_util.tree_leaves(states),
+                                      jax.tree_util.tree_leaves(init)))
         family = kernel_family(cfg)
         if family == "lstm" and not rollout_fast.lstm_packable(cfg, params):
             family = None

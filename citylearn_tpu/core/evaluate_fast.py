@@ -45,7 +45,15 @@ EXTRA_KEYS = ("electric_vehicle_storage", "washing_machine")
 
 class ScriptedPolicy:
     """An open-loop action plan: ``{action_name: (24,) hour table | (S,)
-    per-step series | (S, B) per-building plan}``.
+    per-step series | (S, n) per-target plan}`` (targets: buildings;
+    chargers for ``electric_vehicle_storage``; machines for
+    ``washing_machine``).
+
+    A length-24 leading axis is ALWAYS interpreted as an hour-indexed
+    table (reference HourRBC semantics) — for a 24-STEP per-step plan,
+    pass an explicit (24, n) 2-D array whose second axis differs from the
+    24-hour shape, or pad to (25,) and slice; ambiguous (24,)/(24, n)
+    shapes at S == 24 resolve as hour tables.
 
     Scripted policies are state-independent, which is what lets the
     whole-episode kernels serve them; they also act as ordinary
@@ -59,23 +67,48 @@ class ScriptedPolicy:
         self.plans = {k: np.asarray(v, np.float32) for k, v in plans.items()}
 
     @classmethod
-    def from_hour_rbc(cls, agent, n_buildings: int) -> "ScriptedPolicy":
-        """Build (24, B) plans from an :class:`citylearn_tpu.agents.rbc.HourRBC`
+    def from_hour_rbc(cls, agent, n_buildings: int,
+                      spec=None) -> "ScriptedPolicy":
+        """Build (24, n) plans from an :class:`citylearn_tpu.agents.rbc.HourRBC`
         agent's resolved per-building hour maps (reference
         ``agents/rbc.py:80-136``). A central agent carries ONE name-keyed
-        map shared by every building."""
+        map shared by every building. Pass the compiled ``spec`` to route
+        per-charger (``electric_vehicle_storage_<id>``) and
+        washing-machine hour maps onto their district-wide plan axes."""
         plans: Dict[str, np.ndarray] = {}
         maps = agent.action_map
         if len(maps) == 1 and n_buildings > 1:
             maps = maps * n_buildings           # central: shared hour map
+        ch_slot, wm_slot, n_ch, n_wm = {}, {}, 0, 0
+        if spec is not None:
+            for b in spec.buildings:
+                for ch in b.chargers:
+                    ch_slot[f"electric_vehicle_storage_{ch.charger_id}"] = n_ch
+                    n_ch += 1
+                for wm in b.washing_machines:
+                    wm_slot[wm.name] = n_wm
+                    n_wm += 1
+
+        def col_of(table):
+            return np.asarray([table[h] for h in range(1, 25)], np.float32)
+
         for b, m in enumerate(maps):
             for name, table in m.items():
-                if name not in ACTION_KEYS or table is None:
+                if table is None:
                     continue
-                col = np.asarray([table[h] for h in range(1, 25)], np.float32)
-                plan = plans.setdefault(name, np.zeros((24, n_buildings),
-                                                       np.float32))
-                plan[:, b] = col
+                if name in ACTION_KEYS:
+                    plan = plans.setdefault(
+                        name, np.zeros((24, n_buildings), np.float32))
+                    plan[:, b] = col_of(table)
+                elif name in ch_slot:
+                    plan = plans.setdefault(
+                        "electric_vehicle_storage",
+                        np.zeros((24, n_ch), np.float32))
+                    plan[:, ch_slot[name]] = col_of(table)
+                elif name in wm_slot:
+                    plan = plans.setdefault(
+                        "washing_machine", np.zeros((24, n_wm), np.float32))
+                    plan[:, wm_slot[name]] = col_of(table)
         return cls(plans)
 
     def expanded(self, cfg: StaticConfig, params: DistrictParams,

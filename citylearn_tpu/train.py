@@ -547,8 +547,19 @@ class BatchedSAC:
 
         path = os.path.abspath(directory)
         template = jax.tree_util.tree_map(np.asarray, self.state)
-        restored = ocp.PyTreeCheckpointer().restore(
-            path, item=self._placeholder_empties(template))
+        try:
+            restored = ocp.PyTreeCheckpointer().restore(
+                path, item=self._placeholder_empties(template))
+        except (ValueError, KeyError):
+            # checkpoints written before the carried-observation field
+            # (cur_obs) existed restore against the old structure; the
+            # carried obs is derived state and re-encodes from env_state
+            old = self.state._replace(cur_obs=None)
+            template_old = jax.tree_util.tree_map(np.asarray, old)
+            restored = ocp.PyTreeCheckpointer().restore(
+                path, item=self._placeholder_empties(template_old))
+            restored = restored._replace(
+                cur_obs=np.asarray(self._encoded_obs(restored.env_state)))
         # zero-size leaves come back from the template, not the placeholder
         self.state = jax.tree_util.tree_map(
             lambda cur, new: jnp.asarray(cur if cur.size == 0 else new),

@@ -336,11 +336,11 @@ class BatchedMARLISA(BatchedSAC):
                     return {k: v[0] for k, v in acts_d.items()}
 
                 def one(state):
-                    _, collected = collect_episode(self.env_cfg, params,
-                                                   state, policy_fn, S)
+                    st, collected = collect_episode(self.env_cfg, params,
+                                                    state, policy_fn, S)
                     return kpi_table(self.env_cfg, params, collected,
                                      state.data_offset + state.t,
-                                     baseline_condition)
+                                     baseline_condition, final_state=st)
 
                 return jax.vmap(one)(states)
 

@@ -111,6 +111,50 @@ def test_lstm_family_cli_fast(tmp_path):
             rtol=5e-4, atol=5e-3, err_msg=var)
 
 
+def test_ev_family_cli_fast(tmp_path):
+    """plus_evs family through the CLI fast path: per-charger RBC hour
+    maps routed onto the kernel's charger plan axis."""
+    schema = ("/root/reference/data/datasets/"
+              "citylearn_challenge_2022_phase_all_plus_evs/schema.json")
+    out = str(tmp_path)
+    for sid, fast in (("slow", False), ("fast", True)):
+        Simulator.evaluate(
+            schema=schema,
+            agent_name="citylearn.agents.rbc."
+                       "BasicElectricVehicleRBC_ReferenceController",
+            evaluation_episode_time_steps=(0, 119), simulation_id=sid,
+            output_directory=out, fast=fast)
+    load = lambda sid: json.load(
+        open(os.path.join(out, f"{sid}-evaluation.json")))
+    slow, fast = load("slow"), load("fast")
+    shared = 0
+    for kpi, cols in fast["kpis"].items():
+        for name, v in cols.items():
+            w = slow["kpis"][kpi].get(name)
+            if v is None or w is None:
+                continue
+            shared += 1
+            assert abs(v - w) <= 5e-4 * max(1.0, abs(w)), \
+                f"{kpi}/{name}: fast {v} vs slow {w}"
+    assert shared >= 40
+    b0 = next(iter(fast["time_series"]))
+    for var, vals in fast["time_series"][b0].items():
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(slow["time_series"][b0][var]),
+            rtol=5e-4, atol=5e-3, err_msg=var)
+
+
+def test_fast_rejects_shifted_window(tmp_path):
+    """--fast refuses non-default episode windows instead of silently
+    evaluating the wrong rows."""
+    with pytest.raises(ValueError, match="offset"):
+        Simulator.evaluate(
+            schema=SCHEMA, agent_name="citylearn.agents.rbc.BasicRBC",
+            evaluation_episode_time_steps=(24, 119),
+            simulation_id="shifted", output_directory=str(tmp_path),
+            fast=True)
+
+
 def test_fast_rejects_closed_loop_agent(tmp_path):
     with pytest.raises(ValueError, match="open-loop"):
         Simulator.evaluate(

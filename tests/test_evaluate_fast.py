@@ -84,6 +84,17 @@ def test_thermal_2021_full_table():
     _compare(cfg, params, ScriptedPolicy(dict(THERMAL_TABLES)))
 
 
+def test_thermal_2020_full_table():
+    """The 2020 climate-zone era (cooling + DHW storage, no battery
+    everywhere) also rides the thermal kernel."""
+    cfg, params = _env("citylearn_challenge_2020_climate_zone_1", 168)
+    assert kernel_family(cfg) == "thermal"
+    _compare(cfg, params, ScriptedPolicy({
+        "cooling_storage": THERMAL_TABLES["cooling_storage"],
+        "dhw_storage": THERMAL_TABLES["dhw_storage"],
+    }))
+
+
 def test_lstm_2023_full_table():
     """The LSTM-dynamics kernel family through the user-facing evaluate
     dispatch, with the partial-load counterfactual baseline."""

@@ -16,19 +16,35 @@ import pytest
 DATASETS = "/root/reference/data/datasets"
 
 
+import contextlib
+import random as _stdlib_random
+
+
+@contextlib.contextmanager
+def _midpoint_uniform():
+    """Pin stdlib ``random.uniform`` to the midpoint for the duration of
+    a reference construction/rollout, then RESTORE it — EVs without a
+    schema initial_soc draw ``random.uniform(0, 1)`` (citylearn.py:2564),
+    inherently order-dependent otherwise (same convention as
+    tools/make_golden.py; our compiler defaults missing EV initial_soc to
+    0.5, compiler/schema.py:888-892). The patch must not leak into the
+    rest of the pytest process."""
+    orig = _stdlib_random.uniform
+    _stdlib_random.uniform = lambda a, b: (a + b) / 2
+    try:
+        yield
+    finally:
+        _stdlib_random.uniform = orig
+
+
 def _load_reference():
     import pandas as pd
     sys.path.insert(0, "/root/reference")
     from citylearn.data import DataSet
     DataSet.get_pv_sizing_data = lambda self: pd.DataFrame()
     DataSet.get_battery_sizing_data = lambda self: pd.DataFrame()
-    import citylearn.citylearn as _cl_mod
-    # EVs without schema initial_soc get random.uniform(0,1) from the
-    # STDLIB RNG (citylearn.py:2564) — inherently order-dependent; pin it
-    # to the midpoint like tools/make_golden.py (our compiler defaults
-    # missing EV initial_soc to 0.5, compiler/schema.py:888-892)
-    _cl_mod.random.uniform = lambda a, b: (a + b) / 2
-    return _cl_mod.CityLearnEnv
+    from citylearn.citylearn import CityLearnEnv as RefEnv
+    return RefEnv
 
 
 def _base_schema(name):
@@ -207,7 +223,9 @@ def test_fuzzed_schema_trace_matches_reference(base, seed):
 
     ours = CityLearnEnv(copy.deepcopy(schema), random_seed=0,
                         episode_time_steps=24)
-    ref = RefEnv(copy.deepcopy(schema), random_seed=0, episode_time_steps=24)
+    with _midpoint_uniform():
+        ref = RefEnv(copy.deepcopy(schema), random_seed=0,
+                     episode_time_steps=24)
 
     # identical spaces first — shape mismatches are compiler bugs
     assert len(ours.action_space) == len(ref.action_space), \
@@ -240,8 +258,9 @@ def _compare_traces(schema, seed, steps=23, obs_tol=2e-4, rew_tol=5e-4):
     # numpy RNG (utilities.py:148-170); seed it so the draws line up with
     # our compiler's seeded noise stream (make_golden.py noisy convention)
     np.random.seed(0)
-    ref = RefEnv(copy.deepcopy(schema), random_seed=0,
-                 episode_time_steps=steps + 1)
+    with _midpoint_uniform():
+        ref = RefEnv(copy.deepcopy(schema), random_seed=0,
+                     episode_time_steps=steps + 1)
     assert len(ours.action_space) == len(ref.action_space)
     for a, b in zip(ours.action_space, ref.action_space):
         np.testing.assert_allclose(a.low, b.low, atol=1e-5)

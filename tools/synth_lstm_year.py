@@ -17,11 +17,19 @@ YEAR = 8760
 
 
 def synthesize_year(schema_path: str, out_dir: str = None) -> str:
+    import hashlib
+
     import pandas as pd
 
     src = os.path.dirname(os.path.abspath(schema_path))
     if out_dir is None:
-        out_dir = tempfile.mkdtemp(prefix="lstm_year_")
+        # deterministic cache dir: repeated bench runs reuse one copy
+        # instead of leaking a fresh multi-MB dataset per run
+        tag = hashlib.md5(src.encode()).hexdigest()[:10]
+        out_dir = os.path.join(tempfile.gettempdir(), f"lstm_year_{tag}")
+        marker = os.path.join(out_dir, "schema.json")
+        if os.path.exists(marker):
+            return marker
     os.makedirs(out_dir, exist_ok=True)
     with open(schema_path) as f:
         schema = json.load(f)
