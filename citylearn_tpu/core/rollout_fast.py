@@ -361,7 +361,7 @@ def eligible_lstm(cfg: StaticConfig) -> bool:
     # central_agent is allowed: it only changes reward AGGREGATION and
     # observation layout, not physics — the kernel's reward_sum output is
     # per-building either way (sum host-side for the central scalar)
-    return (cfg.has_dynamics and len(cfg.dyn_groups) == 1
+    return (cfg.has_dynamics and len(cfg.dyn_groups) >= 1
             and not cfg.has_occupant and not cfg.has_evs
             and not cfg.has_washing_machines and not cfg.any_outage
             and not cfg.has_charging_constraints
@@ -369,20 +369,51 @@ def eligible_lstm(cfg: StaticConfig) -> bool:
             and cfg.reward_type == "ComfortReward")
 
 
+def _lstm_units(cfg: StaticConfig, params: DistrictParams):
+    """Per-building packing metadata for the (possibly heterogeneous)
+    dynamics groups: building index -> (group, row-in-group, L, H, F,
+    temp-channel, cool-channel) plus cumulative x/h lane offsets."""
+    B = cfg.n_buildings
+    units = [None] * B
+    for g, (meta, dyn) in enumerate(zip(cfg.dyn_groups, params.dynamics)):
+        lookback, L, H, F, tc, cc, hc = meta
+        for row, b in enumerate(np.asarray(dyn.member_indices)):
+            units[int(b)] = dict(g=g, row=row, L=int(L), H=int(H), F=int(F),
+                                 tc=int(tc), cc=int(cc), hc=int(hc),
+                                 lookback=int(lookback))
+    x_off, h_off = [], []
+    xa = ha = 0
+    for u in units:
+        x_off.append(xa)
+        h_off.append(ha)
+        xa += u["F"]
+        ha += u["H"]
+    return units, x_off, h_off, xa, ha
+
+
 def lstm_packable(cfg: StaticConfig, params: DistrictParams) -> bool:
-    """Data-level eligibility for the LSTM kernel."""
+    """Data-level eligibility for the LSTM kernel: every building covered
+    by some group, layer counts 1-2, shared lookback, combined channel and
+    hidden lanes within one 128-lane tile each, no heating-side dynamics,
+    inert heating end-use."""
     if not eligible_lstm(cfg):
         return False
-    lookback, L, H, F, tc, cc, hc = cfg.dyn_groups[0]
     B = cfg.n_buildings
-    dyn = params.dynamics[0]
-    if L != 2 or cc < 0 or hc >= 0 or B * F > 128 or B * H > 128:
+    covered = np.concatenate([np.asarray(d.member_indices)
+                              for d in params.dynamics])
+    if not np.array_equal(np.sort(covered), np.arange(B)):
         return False
-    if not np.array_equal(np.asarray(dyn.member_indices), np.arange(B)):
+    units, _, _, x_total, h_total = _lstm_units(cfg, params)
+    lookbacks = {u["lookback"] for u in units}
+    if len(lookbacks) != 1 or x_total > 128 or h_total > 128:
         return False
-    if (np.asarray(dyn.heating_device_active).any()
-            or np.asarray(dyn.cooling_or_heating_active).any()):
-        return False
+    for u in units:
+        if u["L"] not in (1, 2) or u["cc"] < 0 or u["hc"] >= 0:
+            return False
+    for dyn in params.dynamics:
+        if (np.asarray(dyn.heating_device_active).any()
+                or np.asarray(dyn.cooling_or_heating_active).any()):
+            return False
     # heating end-use must be inert (zero demand, zero tank)
     if float(np.asarray(params.series.heating_demand).max()) > 0.0:
         return False
@@ -420,8 +451,8 @@ def run_lstm_episode(cfg: StaticConfig, params: DistrictParams,
     S = (cfg.time_steps - 1) if n_steps is None else n_steps
     assert n_districts % TILE_D_L == 0
     B = cfg.n_buildings
-    lookback, L, H, F, tc, cc, hc = cfg.dyn_groups[0]
-    dyn = params.dynamics[0]
+    units, x_off, h_off, _, _ = _lstm_units(cfg, params)
+    lookback = units[0]["lookback"]
 
     ser = params.series
     t_pad = ((S + T_CHUNK_L - 1) // T_CHUNK_L) * T_CHUNK_L
@@ -436,13 +467,15 @@ def run_lstm_episode(cfg: StaticConfig, params: DistrictParams,
     band_cfg = cfg.reward_band
     band_src = (np.full((S, B), band_cfg, np.float32) if band_cfg is not None
                 else np.asarray(ser.comfort_band)[:S])
-    # static channels -> (T, B * F) channel-lane layout, dynamic lanes zero
+    # static channels -> (T, sum F) per-building channel-lane layout,
+    # dynamic (cooling-demand / temperature) lanes zeroed
     schan = np.zeros((t_pad, L_LANES), np.float32)
-    sc = np.asarray(dyn.static_channels)[:S]                 # (S, B, F)
-    for b in range(B):
-        schan[:S, b * F:(b + 1) * F] = sc[:, b, :]
-        schan[:S, b * F + cc] = 0.0
-        schan[:S, b * F + tc] = 0.0
+    scs = [np.asarray(d.static_channels)[:S] for d in params.dynamics]
+    for b, u in enumerate(units):
+        xo, F = x_off[b], u["F"]
+        schan[:S, xo:xo + F] = scs[u["g"]][:, u["row"], :]
+        schan[:S, xo + u["cc"]] = 0.0
+        schan[:S, xo + u["tc"]] = 0.0
 
     series = (
         stream(ser.non_shiftable_load), stream(ser.solar_generation),
@@ -505,50 +538,54 @@ def run_lstm_episode(cfg: StaticConfig, params: DistrictParams,
     assert len(rows) == N_TROWS
     tparams = jnp.asarray(np.stack(rows))
 
-    # ---- LSTM packing ----
-    nmin = np.asarray(dyn.norm_min)                # (B, F)
-    nmax = np.asarray(dyn.norm_max)
+    # ---- LSTM packing (per-building lane offsets; heterogeneous
+    # groups pack into the same matrices, single-layer buildings carry
+    # zero layer-2 blocks and head rows reading layer 1) ----
     lrows = np.zeros((N_LROWS, L_LANES), np.float32)
     # pad-lane norm spans stay 1.0: a 0/0 NaN in a dead lane would poison
     # the one-hot channel-scatter matmuls (NaN * 0 = NaN)
     lrows[1, :] = 1.0
     lrows[3, :] = 1.0
-    lrows[0, :B] = nmin[:, cc]
-    lrows[1, :B] = nmax[:, cc] - nmin[:, cc]
-    lrows[2, :B] = nmin[:, tc]
-    lrows[3, :B] = nmax[:, tc] - nmin[:, tc]
-    lrows[4, :B] = np.asarray(dyn.lin_b)
-    lrows[5, :B] = np.asarray(dyn.cooling_device_active, np.float32)
-    lrows[6, :B] = 1.0
-
-    w_ih = [np.asarray(w) for w in dyn.w_ih]       # l0: (B,4H,F); l1: (B,4H,H)
-    w_hh = [np.asarray(w) for w in dyn.w_hh]
-    biases = [np.asarray(b) for b in dyn.bias]
     W = [np.zeros((2 * L_LANES, 4 * L_LANES), np.float32) for _ in range(2)]
     bias_rows = np.zeros((2, 4 * L_LANES), np.float32)
-    for b in range(B):
-        for g in range(4):
-            for j in range(H):
-                col = g * L_LANES + b * H + j
-                W[0][b * F:(b + 1) * F, col] = w_ih[0][b, g * H + j, :]
-                W[0][L_LANES + b * H:L_LANES + (b + 1) * H, col] = \
-                    w_hh[0][b, g * H + j, :]
-                W[1][b * H:(b + 1) * H, col] = w_ih[1][b, g * H + j, :]
-                W[1][L_LANES + b * H:L_LANES + (b + 1) * H, col] = \
-                    w_hh[1][b, g * H + j, :]
-                bias_rows[0, col] = biases[0][b, g * H + j]
-                bias_rows[1, col] = biases[1][b, g * H + j]
-    linw = np.zeros((L_LANES, L_LANES), np.float32)
-    lw = np.asarray(dyn.lin_w)
-    for b in range(B):
-        linw[b * H:(b + 1) * H, b] = lw[b]
+    linw = np.zeros((2 * L_LANES, L_LANES), np.float32)
     pcc = np.zeros((L_LANES, L_LANES), np.float32)
     ptc = np.zeros((L_LANES, L_LANES), np.float32)
     tmask = np.zeros((1, L_LANES), np.float32)
-    for b in range(B):
-        pcc[b, b * F + cc] = 1.0
-        ptc[b, b * F + tc] = 1.0
-        tmask[0, b * F + tc] = 1.0
+    for b, u in enumerate(units):
+        dyn = params.dynamics[u["g"]]
+        row, F, H, L = u["row"], u["F"], u["H"], u["L"]
+        cc, tc = u["cc"], u["tc"]
+        xo, ho = x_off[b], h_off[b]
+        nmin = np.asarray(dyn.norm_min)[row]
+        nmax = np.asarray(dyn.norm_max)[row]
+        lrows[0, b] = nmin[cc]
+        lrows[1, b] = nmax[cc] - nmin[cc]
+        lrows[2, b] = nmin[tc]
+        lrows[3, b] = nmax[tc] - nmin[tc]
+        lrows[4, b] = np.asarray(dyn.lin_b)[row]
+        lrows[5, b] = float(np.asarray(dyn.cooling_device_active)[row])
+        lrows[6, b] = 1.0
+        w_ih = [np.asarray(w)[row] for w in dyn.w_ih]   # (4H, F) / (4H, H)
+        w_hh = [np.asarray(w)[row] for w in dyn.w_hh]
+        biases = [np.asarray(x)[row] for x in dyn.bias]
+        for g in range(4):
+            for j in range(H):
+                col = g * L_LANES + ho + j
+                W[0][xo:xo + F, col] = w_ih[0][g * H + j, :]
+                W[0][L_LANES + ho:L_LANES + ho + H, col] = w_hh[0][g * H + j, :]
+                bias_rows[0, col] = biases[0][g * H + j]
+                if L >= 2:
+                    W[1][ho:ho + H, col] = w_ih[1][g * H + j, :]
+                    W[1][L_LANES + ho:L_LANES + ho + H, col] = \
+                        w_hh[1][g * H + j, :]
+                    bias_rows[1, col] = biases[1][g * H + j]
+        # head reads layer 2 when present, layer 1 otherwise ([h1 | h2])
+        head_off = (L_LANES + ho) if L >= 2 else ho
+        linw[head_off:head_off + H, b] = np.asarray(dyn.lin_w)[row]
+        pcc[b, xo + cc] = 1.0
+        ptc[b, xo + tc] = 1.0
+        tmask[0, xo + tc] = 1.0
 
     D = n_districts
     tile = lambda v: jnp.asarray(

@@ -14,7 +14,12 @@ input rows are [x-channel lanes | hidden lanes] and whose columns are
 four 128-lane tiles, one per gate (i, f, g, o) — so every step of the
 lookback window is ONE ``(TILE_D, 256) @ (256, 512)`` MXU matmul per
 layer, and the gate nonlinearities slice at lane-tile boundaries (free on
-TPU). Channel-lane scatters (normalized cooling demand / predicted
+TPU). HETEROGENEOUS dynamics groups (different hidden sizes, layer
+counts 1 or 2, channel maps — e.g. baeda_3dem) pack into the same
+matrices: each building gets its own x/h lane offsets, single-layer
+buildings carry zero layer-2 blocks, and the prediction head reads from
+the concatenated [h1 | h2] lanes so every building's head picks the
+right layer. Channel-lane scatters (normalized cooling demand / predicted
 temperature into the ring buffer's channel layout) ride one-hot matmuls
 like :mod:`citylearn_tpu.ops.pallas_ev`. The lookback ring buffer is a
 ``(lookback + 1, TILE_D, LANES)`` VMEM scratch addressed modulo its
@@ -97,7 +102,9 @@ def _episode_kernel(  # HBM streams, (T_pad, LANES) each
                     lparams_ref,                                 # (N_LROWS, LANES)
                     w1_ref, w2_ref,          # (2L, 4L) packed LSTM layers
                     bias_ref,                # (2, 4 * LANES)
-                    linw_ref,                # (LANES, LANES) head one-hot
+                    linw_ref,                # (2 * LANES, LANES) head: rows
+                                             # [h1-lanes | h2-lanes] so
+                                             # single-layer units read h1
                     pcc_ref, ptc_ref,        # (LANES, LANES) lane scatters
                     tmask_ref,               # (1, LANES) temp-channel mask
                     # per-tile initial state
@@ -296,7 +303,8 @@ def _episode_kernel(  # HBM streams, (T_pad, LANES) each
                     jnp.concatenate([h1n, h2n], axis=1), w2_ref, bias2)
                 c2n = f2 * c2n + i2 * g2
                 h2n = o2 * jnp.tanh(c2n)
-            pred_n = jnp.dot(h2n, linw_ref[:, :],
+            pred_n = jnp.dot(jnp.concatenate([h1n, h2n], axis=1),
+                             linw_ref[:, :],
                              preferred_element_type=jnp.float32) + lin_b
             pred_temp = pred_n * nspan_tc + nmin_tc
             temp_t = jnp.where(jnp.logical_and(warm, bmask > 0.5),

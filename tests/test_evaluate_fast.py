@@ -126,6 +126,33 @@ def test_lstm_2023_full_table():
             err_msg=f"KPI mismatch in {k}")
 
 
+def test_lstm_baeda_heterogeneous_full_table():
+    """Heterogeneous dynamics groups (baeda_3dem) through the evaluate
+    dispatch on the LSTM kernel."""
+    cfg, params = _env("baeda_3dem", 168)
+    assert kernel_family(cfg) == "lstm"
+    policy = ScriptedPolicy({
+        "cooling_device": np.where(np.arange(1, 25) < 12, 0.8, 0.4
+                                   ).astype(np.float32),
+        "cooling_storage": np.where(np.arange(1, 25) < 7, 0.05, -0.03
+                                    ).astype(np.float32),
+        "dhw_storage": np.full(24, 0.05, np.float32),
+    })
+    states = batched_initial_states(cfg, params, 2)
+    slow = evaluate_districts(
+        cfg, params, states,
+        policy.as_policy_fn(cfg, params, cfg.time_steps - 1),
+        baseline_condition="_without_storage_and_partial_load")
+    fast = evaluate_scripted(
+        cfg, params, policy,
+        baseline_condition="_without_storage_and_partial_load",
+        interpret=True)
+    for k in sorted(slow):
+        np.testing.assert_allclose(
+            np.asarray(slow[k])[0], np.asarray(fast[k]), rtol=5e-4,
+            atol=5e-4, equal_nan=True, err_msg=f"KPI mismatch in {k}")
+
+
 def test_ev_2022_full_table():
     """The EV kernel family through the user-facing evaluate dispatch:
     chargers + washing machines, with per-charger open-loop plans."""

@@ -107,6 +107,60 @@ def test_lstm_kernel_matches_xla_scan(env):
                                rtol=2e-5, atol=1e-3)
 
 
+def test_lstm_kernel_heterogeneous_baeda():
+    """The kernel's block-diagonal packing handles HETEROGENEOUS dynamics
+    groups — baeda_3dem mixes a 2-layer/H=8 group (3 buildings) with a
+    1-layer/H=50 group (1 building) — against the XLA scan path."""
+    schema = "/root/reference/data/datasets/baeda_3dem/schema.json"
+    spec = compile_schema(schema, random_seed=0, central_agent=False,
+                          episode_time_steps=168)
+    cfg, params = __import__("citylearn_tpu.core.params",
+                             fromlist=["pack"]).pack(spec)[:2]
+    assert len(cfg.dyn_groups) == 2
+    assert rollout_fast.lstm_packable(cfg, params)
+    from citylearn_tpu.ops.pallas_lstm import R_NET, R_TEMP, TILE_D
+    D = TILE_D
+    S = cfg.time_steps - 1
+    B = cfg.n_buildings
+
+    tables = {
+        "cooling_device": TABLES["cooling_device"],
+        "cooling_storage": np.where(np.arange(1, 25) < 7, 0.05, -0.03
+                                    ).astype(np.float32),
+        "dhw_storage": np.full(24, 0.05, np.float32),
+    }
+    hours = np.asarray(params.series.hour)[:S, 0]
+    plans = {k: jnp.asarray(np.tile(tbl[hours - 1][:, None], (1, B)))
+             for k, tbl in tables.items()}
+    zero = jnp.zeros((B,), jnp.float32)
+
+    def policy(params, st):
+        return {k: (jnp.take(plans[k], st.t, axis=0) if k in plans else zero)
+                for k in ACTION_KEYS}
+
+    st1 = batched_initial_states(cfg, params, 1)
+    st1 = jax.tree_util.tree_map(lambda x: x[0], st1)
+    out_state, collected = jax.jit(
+        lambda p, s: collect_episode(cfg, p, s, policy, S))(params, st1)
+
+    out = rollout_fast.run_lstm_episode(cfg, params, D, tables,
+                                        interpret=True, record_series=True)
+    rec = np.asarray(out[-1])
+    np.testing.assert_allclose(np.asarray(out[3])[0],
+                               np.asarray(out_state.cooling_storage_soc),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(rec[R_NET][:, :B],
+                               np.asarray(collected["net"]),
+                               rtol=2e-4, atol=2e-3)
+    temp_x = np.asarray(collected["indoor_t"])
+    np.testing.assert_allclose(rec[R_TEMP][:, :B], temp_x, rtol=2e-4,
+                               atol=5e-3)
+    # both groups' predictions must engage
+    ideal = np.asarray(params.series.indoor_dry_bulb_temperature)[:S]
+    dev = np.abs(temp_x - ideal)
+    assert dev[:, :3].max() > 0.05 and dev[:, 3].max() > 0.05
+
+
 def _reward_sum(cfg, params, state, policy, S):
     from citylearn_tpu.core.step import district_step
 
