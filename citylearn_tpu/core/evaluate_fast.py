@@ -224,7 +224,8 @@ def _assembler(cfg: StaticConfig, family: str, S: int,
             dhw_bal = jnp.zeros_like(net)
         elif family == "lstm":
             from citylearn_tpu.ops.pallas_lstm import (
-                R_BBAL, R_CBAL, R_CDEM, R_COUT, R_DBAL, R_DOUT, R_NET, R_TEMP)
+                R_BBAL, R_CBAL, R_CDEM, R_COUT, R_DBAL, R_DOUT, R_NET,
+                R_NSLMET, R_TEMP)
             net = rec[R_NET]
             outdoor = w(ser.outdoor_dry_bulb_temperature)
             cool_cons = hvac.input_power(params.cooling_device, rec[R_CBAL],
@@ -234,7 +235,7 @@ def _assembler(cfg: StaticConfig, family: str, S: int,
             storage = (cool_cons + dhw_cons + _with_t0_double(rec[R_BBAL]))
             served = (rec[R_COUT] + jnp.clip(-rec[R_CBAL], 0.0, None)
                       + rec[R_DOUT] + jnp.clip(-rec[R_DBAL], 0.0, None)
-                      + w(ser.non_shiftable_load))
+                      + rec[R_NSLMET])
             pricing = w(ser.electricity_pricing)
             carbon = w(ser.carbon_intensity)
             collected = dict(

@@ -363,7 +363,7 @@ def eligible_lstm(cfg: StaticConfig) -> bool:
     # per-building either way (sum host-side for the central scalar)
     return (cfg.has_dynamics and len(cfg.dyn_groups) >= 1
             and not cfg.has_occupant and not cfg.has_evs
-            and not cfg.has_washing_machines and not cfg.any_outage
+            and not cfg.has_washing_machines
             and not cfg.has_charging_constraints
             and cfg.reward_per_building is None
             and cfg.reward_type == "ComfortReward")
@@ -488,6 +488,7 @@ def run_lstm_episode(cfg: StaticConfig, params: DistrictParams,
         stream(ser.indoor_dry_bulb_temperature_heating_set_point),
         stream(band_src),
         jnp.asarray(schan),
+        stream(ser.power_outage),
     )
 
     hours = np.asarray(ser.hour)[:S, 0]

@@ -73,7 +73,7 @@ LANES = 128
 
 # recorded per-step series rows (record=True)
 (R_NET, R_CBAL, R_DBAL, R_BBAL, R_CSOC, R_DSOC, R_BSOC, R_COUT, R_DOUT,
- R_TEMP, R_REWARD, R_CDEM, N_LREC) = range(13)
+ R_TEMP, R_REWARD, R_CDEM, R_NSLMET, N_LREC) = range(14)
 
 
 def _lstm_cell(xh, w_ref, bias_row):
@@ -95,6 +95,7 @@ def _episode_kernel(  # HBM streams, (T_pad, LANES) each
                     nsl_hbm, solar_hbm, price_hbm, carbon_hbm,
                     cool_hbm, dhw_hbm, outdoor_hbm, mode_hbm,
                     tempi_hbm, csp_hbm, hsp_hbm, band_hbm, schan_hbm,
+                    outage_hbm,
                     # VMEM params
                     bparams_ref,                                 # (8, LANES)
                     pec_x_ref, pec_y_ref, cpc_x_ref, cpc_y_ref,  # (P, LANES)
@@ -116,7 +117,7 @@ def _episode_kernel(  # HBM streams, (T_pad, LANES) each
                     n_steps: int, hours_ratio: float, ratio: float,
                     n_knots: int, lookback: int, lo_exp: float, hi_exp: float,
                     record: bool):
-    n_streams = 17
+    n_streams = 18
     if record:
         rec_out, = rest[:1]
         bufs = rest[1:1 + n_streams]
@@ -126,10 +127,10 @@ def _episode_kernel(  # HBM streams, (T_pad, LANES) each
         sems, ring = rest[n_streams:]
     (acdev_buf, acstor_buf, adstor_buf, abat_buf, nsl_buf, solar_buf,
      price_buf, carbon_buf, cool_buf, dhw_buf, outdoor_buf, mode_buf,
-     tempi_buf, csp_buf, hsp_buf, band_buf, schan_buf) = bufs
+     tempi_buf, csp_buf, hsp_buf, band_buf, schan_buf, outage_buf) = bufs
     hbms = (acdev_hbm, acstor_hbm, adstor_hbm, abat_hbm, nsl_hbm, solar_hbm,
             price_hbm, carbon_hbm, cool_hbm, dhw_hbm, outdoor_hbm, mode_hbm,
-            tempi_hbm, csp_hbm, hsp_hbm, band_hbm, schan_hbm)
+            tempi_hbm, csp_hbm, hsp_hbm, band_hbm, schan_hbm, outage_hbm)
 
     cap = bparams_ref[0, :][None, :]
     nominal = bparams_ref[1, :][None, :]
@@ -203,6 +204,7 @@ def _episode_kernel(  # HBM streams, (T_pad, LANES) each
             hsp = row(hsp_buf)
             band = row(band_buf)
             schan = row(schan_buf)
+            outage = row(outage_buf)
 
             is_t0 = t == 0
             t0f = jnp.where(is_t0, 1.0, 0.0)
@@ -228,50 +230,81 @@ def _episode_kernel(  # HBM streams, (T_pad, LANES) each
             use_partial = jnp.logical_and(warm_ctl, cool_active)
             cooling_demand = jnp.where(use_partial, partial_c, cool_ideal)
 
-            # ---- thermal blocks + battery (shared with pallas_thermal) ----
+            # ---- battery charge event (energy_model.py:1027-1141),
+            # used for both the early (discharge-first) and late
+            # (flex-clamped charge) variants under outage ----
+            def battery_step(energy):
+                energy_init = jnp.maximum(0.0, soc * cap * (1.0 - loss))
+                soc_norm = energy_init / jnp.maximum(cap, ZERO)
+                max_power = nominal * _interp(soc_norm, cpc_x, cpc_y, n_knots)
+                charging = energy >= 0.0
+                e_chg = jnp.minimum(jnp.minimum(max_power, nominal),
+                                    jnp.minimum(deg - energy_init, energy))
+                eff_chg = _interp(jnp.abs(jnp.minimum(energy, max_power))
+                                  / jnp.maximum(nominal, ZERO), pec_x, pec_y,
+                                  n_knots)
+                old_rt = jnp.sqrt(eff)
+                e_dod = -jnp.maximum((soc - (1.0 - dod)) * cap * old_rt, 0.0)
+                e_dis = jnp.maximum(jnp.maximum(-max_power, e_dod), energy)
+                eff_dis = _interp(jnp.minimum(jnp.abs(energy), max_power)
+                                  / jnp.maximum(nominal, ZERO), pec_x, pec_y,
+                                  n_knots)
+                e = jnp.where(charging, e_chg, e_dis)
+                new_eff = jnp.where(charging, eff_chg, eff_dis)
+                rt = jnp.sqrt(new_eff)
+                final = jnp.where(e >= 0.0,
+                                  jnp.minimum(energy_init + e * rt, cap),
+                                  jnp.maximum(0.0, energy_init + e / rt))
+                bsoc = final / jnp.maximum(cap, ZERO)
+                delta = final - energy_init
+                balance = jnp.where(delta >= 0.0, delta / rt, delta * rt)
+                new_deg = jnp.maximum(
+                    deg - (clc * cap * jnp.abs(balance)
+                           / (2.0 * jnp.maximum(deg, ZERO))) * ratio, 0.0)
+                return bsoc, balance, new_eff, new_deg
+
+            flex_of = lambda accum: jnp.where(
+                outage > 0.0, jnp.maximum(0.0, solar - accum), jnp.inf)
+
+            # downward-flexibility coupling (core/step.py order): early
+            # battery discharge books consumption before the thermal
+            # blocks; the late (charging) variant is flex-clamped after
+            # the non-shiftable load
+            bat_energy = a_bat * nominal * hours_ratio
+            e_soc, e_bal, e_eff, e_deg = battery_step(bat_energy)
+            bat_dis = bat_energy < 0.0
+            accum = t0f * (reset_cool + reset_dhw + nsl) \
+                + jnp.where(bat_dis, e_bal, 0.0)
+
             csoc_n, cbal, cout, ccons, cop_c = _thermal_block(
                 tparams, CN, CT_CAP, CT_CONV, csoc, cooling_demand, a_cstor,
-                outdoor, False, dev_init_c, 1.0, ratio)
+                outdoor, False, dev_init_c, 1.0, ratio,
+                outage=outage, solar=solar, cons_accum=accum)
+            accum = accum + ccons
             dsoc_n, dbal, dout, dcons, cop_d = _thermal_block(
                 tparams, DN, DT_CAP, DT_CONV, dsoc, dhw_d, a_dstor, outdoor,
-                True, dev_init_d, hours_ratio, ratio)
+                True, dev_init_d, hours_ratio, ratio,
+                outage=outage, solar=solar, cons_accum=accum)
+            accum = accum + dcons
+            nsl_met = jnp.minimum(nsl, flex_of(accum))
+            accum = accum + nsl_met
 
-            energy = a_bat * nominal * hours_ratio
-            energy_init = jnp.maximum(0.0, soc * cap * (1.0 - loss))
-            soc_norm = energy_init / jnp.maximum(cap, ZERO)
-            max_power = nominal * _interp(soc_norm, cpc_x, cpc_y, n_knots)
-            charging = energy >= 0.0
-            e_chg = jnp.minimum(jnp.minimum(max_power, nominal),
-                                jnp.minimum(deg - energy_init, energy))
-            eff_chg = _interp(jnp.abs(jnp.minimum(energy, max_power))
-                              / jnp.maximum(nominal, ZERO), pec_x, pec_y,
-                              n_knots)
-            old_rt = jnp.sqrt(eff)
-            e_dod = -jnp.maximum((soc - (1.0 - dod)) * cap * old_rt, 0.0)
-            e_dis = jnp.maximum(jnp.maximum(-max_power, e_dod), energy)
-            eff_dis = _interp(jnp.minimum(jnp.abs(energy), max_power)
-                              / jnp.maximum(nominal, ZERO), pec_x, pec_y,
-                              n_knots)
-            e = jnp.where(charging, e_chg, e_dis)
-            new_eff = jnp.where(charging, eff_chg, eff_dis)
-            rt = jnp.sqrt(new_eff)
-            final = jnp.where(e >= 0.0,
-                              jnp.minimum(energy_init + e * rt, cap),
-                              jnp.maximum(0.0, energy_init + e / rt))
-            bsoc_n = final / jnp.maximum(cap, ZERO)
-            delta = final - energy_init
-            balance = jnp.where(delta >= 0.0, delta / rt, delta * rt)
-            new_deg = jnp.maximum(
-                deg - (clc * cap * jnp.abs(balance)
-                       / (2.0 * jnp.maximum(deg, ZERO))) * ratio, 0.0)
+            l_soc, l_bal, l_eff, l_deg = battery_step(
+                jnp.minimum(bat_energy, flex_of(accum)))
+            pickb = lambda e_, l_: jnp.where(bat_dis, e_, l_)
+            bsoc_n = pickb(e_soc, l_soc)
+            balance = pickb(e_bal, l_bal)
+            new_eff = pickb(e_eff, l_eff)
+            new_deg = pickb(e_deg, l_deg)
 
             uv_cool = (cout + cbal) / cop_c
             uv_dhw = (dout + dbal) / cop_d
             cool_total = ccons + t0f * (reset_cool + uv_cool)
             dhw_total = dcons + t0f * (reset_dhw + uv_dhw)
-            nsl_term = nsl + t0f * 2.0 * nsl
+            nsl_term = nsl_met + t0f * (nsl + nsl_met)
             bat_term = balance + t0f * balance
             net = cool_total + dhw_total + nsl_term + bat_term - solar
+            net = jnp.where(outage > 0.0, 0.0, net)
 
             # ---- LSTM temperature prediction ----
             cool_obs = cout + jnp.maximum(-cbal, 0.0)        # B_PAD layout
@@ -373,6 +406,8 @@ def _episode_kernel(  # HBM streams, (T_pad, LANES) each
                 rec_buf[R_REWARD, pl.ds(tl, 1), :] = r[0:1, :]
                 rec_buf[R_CDEM, pl.ds(tl, 1), :] = \
                     jnp.broadcast_to(cooling_demand, (TILE_D, LANES))[0:1, :]
+                rec_buf[R_NSLMET, pl.ds(tl, 1), :] = \
+                    jnp.broadcast_to(nsl_met, (TILE_D, LANES))[0:1, :]
 
             live = t < n_steps
             keep = lambda new, old: jnp.where(live, new, old)
@@ -434,10 +469,10 @@ def lstm_episode(actions: Tuple[jnp.ndarray, ...],
     """Full episode for a (D, B) LSTM-dynamics district batch.
 
     actions: 4 x (T_pad, LANES) open-loop plans (cooling_device,
-    cooling_storage, dhw_storage, electrical_storage); series: 13 x
+    cooling_storage, dhw_storage, electrical_storage); series: 14 x
     (T_pad, LANES) float32 (nsl, solar, price, carbon, cooling_demand,
     dhw_demand, outdoor, hvac_mode, indoor_temp, cooling_sp, heating_sp,
-    comfort_band, static_channels). Returns (reward_sum, cost_sum,
+    comfort_band, static_channels, power_outage). Returns (reward_sum, cost_sum,
     emission_sum, cool_soc, dhw_soc, bat_soc, bat_eff, bat_degraded,
     last_temp) and, with ``record=True``, an (N_LREC, T_pad, LANES)
     per-step stream of district 0."""
@@ -450,7 +485,7 @@ def lstm_episode(actions: Tuple[jnp.ndarray, ...],
     out_specs = [state_spec] * 9
     hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_streams = 17
+    n_streams = 18
     scratch = [pltpu.VMEM((2, T_CHUNK, LANES), jnp.float32)] * n_streams \
         + [pltpu.SemaphoreType.DMA((2, n_streams)),
            pltpu.VMEM((lookback + 1, TILE_D, LANES), jnp.float32)]

@@ -91,21 +91,41 @@ def _tank(tparams, off, soc, energy, ratio):
 
 
 def _thermal_block(tparams, dev_off, tank_off, conv_row, soc, demand, action,
-                   outdoor, heating: bool, dev_init, hours_mul, ratio):
+                   outdoor, heating: bool, dev_init, hours_mul, ratio,
+                   outage=None, solar=None, cons_accum=None):
     """One end-use: both priority variants, sign-selected
-    (core/step._thermal_block with flex = +inf). Returns
-    (soc', balance, device_output, apply_consumption)."""
+    (core/step._thermal_block). Without ``outage``, the
+    downward-electrical-flexibility coupling is +inf and the blocks
+    decouple; with it, device output is capped by
+    ``max(0, solar - cons_accum)`` during an outage exactly like
+    ``building.py:640-668``. Returns
+    (soc', balance, device_output, apply_consumption, cop)."""
     nominal = tparams[dev_off + 0, :][None, :]
     cop = _cop(tparams, dev_off, outdoor, heating)
     conv_cap = tparams[conv_row, :][None, :]
     energy_req = action * conv_cap * hours_mul
 
+    if outage is None:
+        flex = lambda accum: jnp.inf
+    else:
+        flex = lambda accum: jnp.where(
+            outage > 0.0, jnp.maximum(0.0, solar - accum), jnp.inf)
+        if cons_accum is None:
+            cons_accum = jnp.zeros_like(demand)
+
+    def max_out(booked, accum):
+        avail = nominal - booked
+        if outage is None:
+            return avail * cop
+        return jnp.minimum(flex(accum), avail) * cop
+
+    accum0 = cons_accum if cons_accum is not None else 0.0
+
     # variant A: device first, then storage charge
-    max_out1 = (nominal - dev_init) * cop
-    out_A = jnp.minimum(demand, max_out1)
+    out_A = jnp.minimum(demand, max_out(dev_init, accum0))
     cons_dev_A = jnp.maximum(0.0, out_A / cop)
-    max_out2 = (nominal - dev_init - cons_dev_A) * cop
-    charge_A = jnp.minimum(max_out2, energy_req)
+    charge_A = jnp.minimum(max_out(dev_init + cons_dev_A,
+                                   accum0 + cons_dev_A), energy_req)
     soc_A, bal_A = _tank(tparams, tank_off, soc, charge_A / ratio, ratio)
     cons_store_A = jnp.maximum(bal_A, 0.0) / cop
 
@@ -114,7 +134,11 @@ def _thermal_block(tparams, dev_off, tank_off, conv_row, soc, demand, action,
     soc_B, bal_B = _tank(tparams, tank_off, soc, discharge_B / ratio, ratio)
     cons_store_B = jnp.maximum(bal_B, 0.0) / cop
     storage_out_B = -jnp.minimum(bal_B, 0.0)
-    out_B = jnp.minimum(demand - storage_out_B, (nominal - dev_init) * cop)
+    # cons_store_B is 0 for a true discharge (bal_B <= 0); booked like
+    # core/step.py:133-136 for exactness
+    out_B = jnp.minimum(demand - storage_out_B,
+                        max_out(dev_init + cons_store_B,
+                                accum0 + cons_store_B))
     cons_dev_B = jnp.maximum(0.0, out_B / cop)
 
     dis = action < 0.0

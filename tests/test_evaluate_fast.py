@@ -153,6 +153,40 @@ def test_lstm_baeda_heterogeneous_full_table():
             atol=5e-4, equal_nan=True, err_msg=f"KPI mismatch in {k}")
 
 
+def test_lstm_2023p2_outage_full_table():
+    """The power-outage 2023 phase-2 family through the evaluate
+    dispatch: resilience/unserved-energy KPIs from kernel-recorded
+    streams must match the XLA path."""
+    cfg, params = _env("citylearn_challenge_2023_phase_2_local_evaluation",
+                       None)
+    assert cfg.any_outage and kernel_family(cfg) == "lstm"
+    policy = ScriptedPolicy({
+        "cooling_device": np.where(np.arange(1, 25) < 12, 0.8, 0.4
+                                   ).astype(np.float32),
+        "dhw_storage": np.full(24, 0.05, np.float32),
+        "electrical_storage": BAT_TABLE,
+    })
+    states = batched_initial_states(cfg, params, 2)
+    slow = evaluate_districts(
+        cfg, params, states,
+        policy.as_policy_fn(cfg, params, cfg.time_steps - 1),
+        baseline_condition="_without_storage_and_partial_load")
+    fast = evaluate_scripted(
+        cfg, params, policy,
+        baseline_condition="_without_storage_and_partial_load",
+        interpret=True)
+    # the outage KPIs must be non-trivial for the comparison to bite
+    assert float(np.asarray(
+        fast["district|one_minus_thermal_resilience_proportion"])) != 0.0 or \
+        float(np.asarray(
+            fast["district|power_outage_normalized_unserved_energy_total"])) \
+        != 0.0
+    for k in sorted(slow):
+        np.testing.assert_allclose(
+            np.asarray(slow[k])[0], np.asarray(fast[k]), rtol=5e-4,
+            atol=5e-4, equal_nan=True, err_msg=f"KPI mismatch in {k}")
+
+
 def test_ev_2022_full_table():
     """The EV kernel family through the user-facing evaluate dispatch:
     chargers + washing machines, with per-charger open-loop plans."""

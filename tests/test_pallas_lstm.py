@@ -161,6 +161,60 @@ def test_lstm_kernel_heterogeneous_baeda():
     assert dev[:, :3].max() > 0.05 and dev[:, 3].max() > 0.05
 
 
+def test_lstm_kernel_outage_2023p2():
+    """Power-outage support (the 2023 phase-2/3 evaluation sets): the
+    downward-electrical-flexibility coupling, early/late battery
+    variants, flex-capped non-shiftable load and outage-zeroed net must
+    match the XLA scan with REAL outage events in the horizon."""
+    schema = ("/root/reference/data/datasets/"
+              "citylearn_challenge_2023_phase_2_local_evaluation/schema.json")
+    spec = compile_schema(schema, random_seed=0, central_agent=False)
+    from citylearn_tpu.core.params import pack as _pack
+    cfg, params, _ = _pack(spec)
+    assert cfg.any_outage and rollout_fast.lstm_packable(cfg, params)
+    from citylearn_tpu.ops.pallas_lstm import (
+        R_NET, R_NSLMET, R_TEMP, TILE_D)
+    D = TILE_D
+    S = cfg.time_steps - 1
+    B = cfg.n_buildings
+    outage = np.asarray(params.series.power_outage)[:S]
+    assert outage.sum() > 0, "no outage events in horizon; test vacuous"
+
+    hours = np.asarray(params.series.hour)[:S, 0]
+    plans = {k: jnp.asarray(np.tile(tbl[hours - 1][:, None], (1, B)))
+             for k, tbl in TABLES.items()}
+    zero = jnp.zeros((B,), jnp.float32)
+
+    def policy(params, st):
+        return {k: (jnp.take(plans[k], st.t, axis=0) if k in plans else zero)
+                for k in ACTION_KEYS}
+
+    st1 = batched_initial_states(cfg, params, 1)
+    st1 = jax.tree_util.tree_map(lambda x: x[0], st1)
+    out_state, collected = jax.jit(
+        lambda p, s: collect_episode(cfg, p, s, policy, S))(params, st1)
+
+    out = rollout_fast.run_lstm_episode(cfg, params, D, TABLES,
+                                        interpret=True, record_series=True)
+    rec = np.asarray(out[-1])
+    np.testing.assert_allclose(np.asarray(out[5])[0],
+                               np.asarray(out_state.battery_soc),
+                               rtol=0, atol=0)
+    net_x = np.asarray(collected["net"])
+    np.testing.assert_allclose(rec[R_NET][:, :B], net_x, rtol=2e-4, atol=2e-3)
+    # outage steps force net to zero on both paths
+    mask = outage > 0
+    assert mask.any()
+    np.testing.assert_array_equal(rec[R_NET][:, :B][mask], 0.0)
+    np.testing.assert_array_equal(net_x[mask], 0.0)
+    # flex-capped non-shiftable load engages (served < demand somewhere)
+    nsl = np.asarray(params.series.non_shiftable_load)[:S]
+    assert (rec[R_NSLMET][:, :B][mask] < nsl[mask] - 1e-6).any()
+    np.testing.assert_allclose(rec[R_TEMP][:, :B],
+                               np.asarray(collected["indoor_t"]),
+                               rtol=2e-4, atol=5e-3)
+
+
 def _reward_sum(cfg, params, state, policy, S):
     from citylearn_tpu.core.step import district_step
 
