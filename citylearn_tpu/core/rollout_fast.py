@@ -181,16 +181,70 @@ def _pad_curves_rows(xs, ys, n: int, knots: Optional[int] = None):
 
 def eligible_ev(cfg: StaticConfig) -> bool:
     """Battery+PV buildings with EV chargers and washing machines (the
-    ``..._plus_evs`` configuration): no thermal end-uses, outage,
-    dynamics, occupants or charging constraints."""
+    ``..._plus_evs`` and charging-constraints configurations): no thermal
+    end-uses, outage, dynamics or occupants. Charging constraints are
+    action-only math, precomputed host-side by the dispatcher
+    (scaled per-charger plans + violation streams)."""
     return (cfg.has_evs and not cfg.any_cooling and not cfg.any_heating
             and not cfg.any_dhw and not cfg.has_dynamics
             and not cfg.any_outage and not cfg.has_occupant
-            and not cfg.has_charging_constraints and not cfg.central_agent
+            and not cfg.central_agent
             and cfg.reward_per_building is None
             and (cfg.reward_type == "Electric_Vehicles_Reward_Function"
                  or (cfg.reward_type in _REWARD_OK
                      and cfg.reward_exponent == 1.0)))
+
+
+def apply_charging_constraints_np(cfg: StaticConfig, params: DistrictParams,
+                                  a: np.ndarray):
+    """Numpy replication of the building/phase charging-constraint
+    scaling (reference ``building.py:901-989``; core/step.py:351-388) for
+    an (S, C) open-loop charger plan — constraints depend only on the
+    ACTIONS and static limits, so the kernel path precomputes the scaled
+    plan and the per-building violation kWh stream host-side."""
+    ch = params.chargers
+    B = cfg.n_buildings
+    S, C = a.shape
+    maxc = np.asarray(ch.max_charging_power)
+    bld = np.asarray(ch.building_index)
+    blim = np.asarray(ch.cc_building_limit)
+    pidx = np.asarray(ch.cc_phase_index)
+    plim = np.asarray(ch.cc_phase_limit)
+    pbld = np.asarray(ch.cc_phase_building)
+    P = cfg.n_charging_phases
+    hours_ratio = cfg.seconds_per_time_step / 3600.0
+
+    pos = (a > 0.0) & (maxc > 0.0)[None, :]
+    req = np.where(pos, a * maxc[None, :], 0.0)
+    tot_b = np.zeros((S, B))
+    np.add.at(tot_b, (slice(None), bld), 0)  # shape only
+    for c in range(C):
+        tot_b[:, bld[c]] += req[:, c]
+    over_b = np.isfinite(blim)[None, :] & (tot_b > blim[None, :])
+    scale_b = np.where(over_b,
+                       np.where(blim[None, :] == 0.0, 0.0,
+                                blim[None, :] / np.maximum(tot_b, 1e-12)), 1.0)
+    viol_b = np.where(over_b, tot_b - blim[None, :], 0.0)
+    scaled1 = req * scale_b[:, bld]
+    tot_p = np.zeros((S, P))
+    for c in range(C):
+        if pidx[c] >= 0:
+            tot_p[:, pidx[c]] += scaled1[:, c]
+    over_p = np.isfinite(plim)[None, :] & (tot_p > plim[None, :])
+    scale_p = np.where(over_p,
+                       np.where(plim[None, :] == 0.0, 0.0,
+                                plim[None, :] / np.maximum(tot_p, 1e-12)), 1.0)
+    viol_p = np.where(over_p, tot_p - plim[None, :], 0.0)
+    for pi in range(P):
+        viol_b[:, pbld[pi]] += viol_p[:, pi]
+    scale_p_full = np.concatenate([scale_p, np.ones((S, 1))], axis=1)
+    pidx_full = np.where(pidx >= 0, pidx, P)
+    target = scaled1 * scale_p_full[:, pidx_full]
+    a_out = np.where(
+        pos, np.maximum(0.0, np.minimum(a, target / np.maximum(
+            maxc[None, :], 1e-12))),
+        np.where((a > 0.0) & (maxc <= 0.0)[None, :], 0.0, a))
+    return a_out.astype(np.float32), (viol_b * hours_ratio).astype(np.float32)
 
 
 def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
@@ -260,6 +314,7 @@ def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
         wm_bidx = np.zeros((0,), np.int64)
 
     hours = np.asarray(ser.hour)[:S, 0]
+    viol = np.zeros((t_pad, LANES), np.float32)
     actions = []
     for k, n in (("electrical_storage", B),
                  ("electric_vehicle_storage", C),
@@ -267,7 +322,11 @@ def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
         col = np.zeros((t_pad, LANES), np.float32)
         tbl = action_tables.get(k)
         if tbl is not None:
-            col[:S, :n] = expand_action_plan(tbl, hours, S, n)
+            plan = expand_action_plan(tbl, hours, S, n)
+            if k == "electric_vehicle_storage" and cfg.has_charging_constraints:
+                plan, v = apply_charging_constraints_np(cfg, params, plan)
+                viol[:S, :B] = v
+            col[:S, :n] = plan
         actions.append(jnp.asarray(col))
 
     bat = params.battery
@@ -344,6 +403,8 @@ def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
         ratio=cfg.time_step_ratio, n_knots=n_knots, ev_knots=ev_knots,
         ch_knots=ch_knots, ev_weights=tuple(cfg.ev_reward_weights),
         use_ev_reward=(cfg.reward_type == "Electric_Vehicles_Reward_Function"),
+        viol=jnp.asarray(viol),
+        penalty_coefficient=float(cfg.charging_penalty_coefficient),
         record=record_series, interpret=interpret)
     slices = (B, B, B, B, B, B, V, V, V, max(W, 1))
     sliced = tuple(o[:, :n] for o, n in zip(out, slices))

@@ -60,6 +60,7 @@ LANES = 128
 
 
 def _episode_kernel(abat_hbm, aev_hbm, awm_hbm,      # (T, B/C/W) action plans
+                    viol_hbm,                        # (T, B) violation kWh
                     # HBM streams
                     nsl_hbm, solar_hbm, price_hbm, carbon_hbm,   # (T, B)
                     conn_hbm, req_hbm, dep_hbm,                  # (T, C)
@@ -86,16 +87,16 @@ def _episode_kernel(abat_hbm, aev_hbm, awm_hbm,      # (T, B/C/W) action plans
                     n_steps: int, hours_ratio: float, ratio: float,
                     n_knots: int, ev_knots: int, ch_knots: int,
                     ev_weights: Tuple[float, ...], use_ev_reward: bool,
-                    record: bool):
+                    penalty_coefficient: float, record: bool):
     if record:
         rec_out, = rest[:1]                  # (N_EREC, T_pad, LANES) HBM
         rest = rest[1:]
-        (abat_buf, aev_buf, awm_buf,
+        (abat_buf, aev_buf, awm_buf, viol_buf,
          nsl_buf, solar_buf, price_buf, carbon_buf,
          conn_buf, req_buf, dep_buf, force_buf, drift_buf,
          wms_buf, wme_buf, wml_buf, sems, rec_buf, rec_sem) = rest
     else:
-        (abat_buf, aev_buf, awm_buf,
+        (abat_buf, aev_buf, awm_buf, viol_buf,
          nsl_buf, solar_buf, price_buf, carbon_buf,
          conn_buf, req_buf, dep_buf, force_buf, drift_buf,
          wms_buf, wme_buf, wml_buf, sems) = rest
@@ -119,6 +120,7 @@ def _episode_kernel(abat_hbm, aev_hbm, awm_hbm,      # (T, B/C/W) action plans
     is_tile0 = pl.program_id(0) == 0
     n_chunks = pl.cdiv(n_steps, T_CHUNK)
     streams = [(abat_hbm, abat_buf), (aev_hbm, aev_buf), (awm_hbm, awm_buf),
+               (viol_hbm, viol_buf),
                (nsl_hbm, nsl_buf), (solar_hbm, solar_buf),
                (price_hbm, price_buf), (carbon_hbm, carbon_buf),
                (conn_hbm, conn_buf), (req_hbm, req_buf), (dep_hbm, dep_buf),
@@ -154,6 +156,7 @@ def _episode_kernel(abat_hbm, aev_hbm, awm_hbm,      # (T, B/C/W) action plans
             a_bat = abat_buf[slot, tl, :][None, :]
             a_ev = aev_buf[slot, tl, :][None, :]
             a_wm = awm_buf[slot, tl, :][None, :]
+            viol = viol_buf[slot, tl, :][None, :]
             nsl = nsl_buf[slot, tl, :][None, :]
             solar = solar_buf[slot, tl, :][None, :]
             price = price_buf[slot, tl, :][None, :]
@@ -374,6 +377,10 @@ def _episode_kernel(abat_hbm, aev_hbm, awm_hbm,      # (T, B/C/W) action plans
                                   + c_sc, 0.0)
                 step_rew = jnp.dot(per_c, ch_bld,
                                    preferred_element_type=jnp.float32)
+                # charging-constraint violation penalty
+                # (reward_function.py:431-436; core/reward.py:173-175)
+                step_rew = step_rew - penalty_coefficient \
+                    * jnp.maximum(viol, 0.0)
             else:
                 step_rew = -jnp.maximum(net, 0.0)
 
@@ -431,7 +438,8 @@ def _episode_kernel(abat_hbm, aev_hbm, awm_hbm,      # (T, B/C/W) action plans
 
 @functools.partial(jax.jit, static_argnames=(
     "n_steps", "hours_ratio", "ratio", "n_knots", "ev_knots", "ch_knots",
-    "ev_weights", "use_ev_reward", "record", "interpret"))
+    "ev_weights", "use_ev_reward", "penalty_coefficient", "record",
+    "interpret"))
 def ev_episode(actions: Tuple[jnp.ndarray, ...],
                series: Tuple[jnp.ndarray, ...],
                bparams: jnp.ndarray, curves: Tuple[jnp.ndarray, ...],
@@ -442,6 +450,7 @@ def ev_episode(actions: Tuple[jnp.ndarray, ...],
                n_steps: int, hours_ratio: float, ratio: float,
                n_knots: int, ev_knots: int, ch_knots: int,
                ev_weights: Tuple[float, ...], use_ev_reward: bool,
+               viol: jnp.ndarray = None, penalty_coefficient: float = 1.0,
                record: bool = False, interpret: bool = False):
     """Full episode for a (D, B/C/V/W-lane) EV district batch.
 
@@ -459,8 +468,8 @@ def ev_episode(actions: Tuple[jnp.ndarray, ...],
     out_specs = [state_spec] * 10
     hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((2, T_CHUNK, LANES), jnp.float32)] * 15 \
-        + [pltpu.SemaphoreType.DMA((2, 15))]
+    scratch = [pltpu.VMEM((2, T_CHUNK, LANES), jnp.float32)] * 16 \
+        + [pltpu.SemaphoreType.DMA((2, 16))]
     if record:
         out_shapes = out_shapes + [
             jax.ShapeDtypeStruct((N_EREC, T_pad, LANES), jnp.float32)]
@@ -471,16 +480,19 @@ def ev_episode(actions: Tuple[jnp.ndarray, ...],
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=grid,
-        in_specs=[hbm_spec] * 15 + [small] * 17 + [state_spec] * 7,
+        in_specs=[hbm_spec] * 16 + [small] * 17 + [state_spec] * 7,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
+    if viol is None:
+        viol = jnp.zeros_like(series[0])
     kernel = functools.partial(
         _episode_kernel, n_steps=n_steps, hours_ratio=hours_ratio,
         ratio=ratio, n_knots=n_knots, ev_knots=ev_knots, ch_knots=ch_knots,
-        ev_weights=ev_weights, use_ev_reward=use_ev_reward, record=record)
+        ev_weights=ev_weights, use_ev_reward=use_ev_reward,
+        penalty_coefficient=penalty_coefficient, record=record)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shapes,
         interpret=interpret,
-    )(*actions, *series, bparams, *curves, cparams, *ch_curves,
+    )(*actions, viol, *series, bparams, *curves, cparams, *ch_curves,
       evparams, *ev_curves, ch_bld, wm_bld, *state0)

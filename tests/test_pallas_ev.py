@@ -117,6 +117,76 @@ def test_ev_kernel_matches_xla_scan(env):
     np.testing.assert_allclose(rew[0], xla_reward, rtol=2e-5, atol=1e-3)
 
 
+def test_ev_kernel_charging_constraints():
+    """The charging-constraints demo on the EV kernel: the dispatcher
+    precomputes the building/phase scaling + violation streams host-side
+    (action-only math, building.py:901-989) and the kernel applies the
+    violation penalty — must match the in-graph XLA scan, with real
+    violations occurring."""
+    schema = ("/root/reference/data/datasets/"
+              "citylearn_charging_constraints_demo/schema.json")
+    spec = compile_schema(schema, random_seed=0, central_agent=False,
+                          episode_time_steps=168)
+    cfg, params, _ = pack(spec)
+    assert cfg.has_charging_constraints and rollout_fast.eligible_ev(cfg)
+    from citylearn_tpu.ops.pallas_ev import TILE_D
+    D = TILE_D
+    S = cfg.time_steps - 1
+    B, C, W = cfg.n_buildings, cfg.n_chargers, cfg.n_washing_machines
+
+    hours = np.asarray(params.series.hour)[:S, 0]
+    # aggressive charging so the building/phase limits actually bind
+    ev_plan = np.full((S, C), 0.9, np.float32)
+    bat_plan = np.tile(TABLES["electrical_storage"][hours - 1][:, None],
+                       (1, B)).astype(np.float32)
+    plans = {"electrical_storage": bat_plan,
+             "electric_vehicle_storage": ev_plan}
+
+    scaled, viol = rollout_fast.apply_charging_constraints_np(cfg, params,
+                                                              ev_plan)
+    assert (viol > 0).any(), "limits never bind; test vacuous"
+    assert (scaled < ev_plan - 1e-6).any()
+
+    st1 = batched_initial_states(cfg, params, 1)
+    st1 = jax.tree_util.tree_map(lambda x: x[0], st1)
+
+    def run(p, s, a, ev_a):
+        from citylearn_tpu.core.rollout import actions_dict_from_array
+        from citylearn_tpu.core.step import district_step
+
+        def body(carry, xs):
+            st, rs = carry
+            a_t, ev_t = xs
+            acts = actions_dict_from_array(a_t)
+            acts["electric_vehicle_storage"] = ev_t
+            if cfg.has_washing_machines:
+                acts["washing_machine"] = jnp.zeros((W,), jnp.float32)
+            st, out = district_step(cfg, p, st, acts)
+            return (st, rs + out.reward), out.charging_violation_kwh
+
+        z = jnp.zeros((cfg.n_buildings,), jnp.float32)
+        (st, rs), viols = jax.lax.scan(body, (s, z), (a, ev_a))
+        return st, rs, viols
+
+    action_series = np.zeros((S, len(ACTION_KEYS), B), np.float32)
+    action_series[:, ACTION_KEYS.index("electrical_storage"), :] = bat_plan
+    out_state, xla_reward, xla_viol = jax.jit(run)(
+        params, st1, jnp.asarray(action_series), jnp.asarray(ev_plan))
+    # host-side scaling must reproduce the in-graph violation stream
+    np.testing.assert_allclose(viol, np.asarray(xla_viol), rtol=1e-5,
+                               atol=1e-5)
+
+    out = rollout_fast.run_ev_episode(cfg, params, D, plans, interpret=True)
+    np.testing.assert_allclose(np.asarray(out[3])[0],
+                               np.asarray(out_state.battery_soc),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(out[6])[0],
+                               np.asarray(out_state.ev_soc),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[0])[0],
+                               np.asarray(xla_reward), rtol=2e-5, atol=1e-3)
+
+
 def test_ev_kernel_per_charger_plans(env):
     """The kernel accepts PER-CHARGER / PER-BUILDING open-loop plans, not
     just a scalar broadcast (VERDICT r3 weak #1)."""
