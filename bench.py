@@ -62,7 +62,7 @@ def _bench_scan_config(schema, D, episode_time_steps, reps, policy_keys,
     from citylearn_tpu.core.rollout import (
         ACTION_KEYS,
         batched_initial_states,
-        rollout_policy,
+        rollout_districts,
     )
 
     spec = compile_schema(schema, random_seed=0, central_agent=False,
@@ -87,11 +87,10 @@ def _bench_scan_config(schema, D, episode_time_steps, reps, policy_keys,
 
     states = batched_initial_states(cfg, params, D)
 
-    def episode(params, state):
-        return rollout_policy(cfg, params, state, S, policy)
-
-    fn = jax.jit(jax.vmap(episode, in_axes=(None, 0)))
-    run = lambda: np.asarray(fn(params, states)[1]["reward_sum"])
+    # rollout_districts chunks EV configs at D > 1024 on TPU (the
+    # compiled charger-scan worker-crash guard, core/rollout.py)
+    run = lambda: np.asarray(
+        rollout_districts(cfg, params, states, S, policy)[1]["reward_sum"])
     elapsed = _timeit(run, reps)
     return D * S / elapsed, dict(D=D, S=S, B=cfg.n_buildings)
 
@@ -213,22 +212,30 @@ def _bench_ev_fast(schema, D, episode_time_steps, reps):
     return D * S / elapsed, dict(D=D, S=S, B=cfg.n_buildings, path="pallas")
 
 
-def _bench_train_step(schema, D, reps):
-    """BatchedSAC train-step throughput: one fused collect+update step for
-    D districts (replay writes + twin-Q/policy updates included)."""
+def _bench_train_step(schema, D, reps, force_scan=False):
+    """BatchedSAC train-step throughput: closed-loop collect + replay +
+    twin-Q/policy updates for D districts. Battery-family configs route
+    the collect through the chunked Pallas kernel + batched MXU policy
+    sweep (ops/pallas_collect.py, VERDICT r4 #1); ``force_scan`` (or
+    BENCH_TRAIN_SCAN=1) times the per-step XLA scan instead."""
     from citylearn_tpu.train import BatchedSAC, TrainConfig
 
+    if os.environ.get("BENCH_TRAIN_SCAN") == "1":
+        force_scan = True
     cfg = TrainConfig(n_districts=D, warmup_steps=8, batch_size=256,
-                      replay_capacity=D * 64, hidden=(256, 256))
+                      replay_capacity=D * 64, hidden=(256, 256),
+                      collect="scan" if force_scan else "auto")
     tr = BatchedSAC(schema, cfg, random_seed=0, episode_time_steps=720)
-    tr.train(16, chunk=16)                   # warm past exploration, compile
     CH = 64
+    tr.train(16, chunk=16)                   # warm past exploration, compile
+    tr.train(CH, chunk=CH)                   # compile the steady-state chunk
 
     def run():
         tr.train(CH, chunk=CH)
 
     elapsed = _timeit(run, reps)
-    return D * CH / elapsed, dict(D=D, chunk=CH)
+    path = "pallas_collect" if tr.use_kernel_collect else "xla_scan"
+    return D * CH / elapsed, dict(D=D, chunk=CH, path=path)
 
 
 def main():
@@ -432,22 +439,27 @@ def main():
                 elif name == "eval_fast":
                     continue                   # Pallas-only row (child)
                 else:
-                    if name == "evs_chargers_wm":
-                        # XLA-scan fallback: the compiled scan program
-                        # crashes the TPU worker at D=2048 (see the row
-                        # comment + tools/ev_repro.py); 1024 runs clean
-                        d = min(d, 1024)
+                    # the EV row's XLA-scan fallback runs D=2048 through
+                    # rollout_districts, which chunks into 1024-district
+                    # launches on TPU (the worker-crash guard)
                     sps, meta = _bench_scan_config(sch, d, ets, mreps, keys,
                                                    table)
                 matrix[name] = {"district_steps_per_sec": round(sps, 1), **meta}
             except Exception as e:  # pragma: no cover - diagnostics only
                 matrix[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
-        if not is_child:
+        # the train row's Pallas collect compiles through the Mosaic
+        # service -> it runs in the bounded child alongside the other
+        # kernel rows; the parent covers it on the Pallas-free scan path
+        # only when the child never got there (or with BENCH_FAST=0)
+        if "sac_train_step" not in matrix:
             try:
                 sps, meta = _bench_train_step(
-                    schema, int(os.environ.get("BENCH_D_TRAIN", "2048")), mreps)
+                    schema, int(os.environ.get("BENCH_D_TRAIN", "4096")),
+                    mreps, force_scan=not is_child)
                 matrix["sac_train_step"] = {
                     "district_steps_per_sec": round(sps, 1), **meta}
+                if is_child:
+                    _child_checkpoint(matrix)
             except Exception as e:  # pragma: no cover
                 matrix["sac_train_step"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 

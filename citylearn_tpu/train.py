@@ -77,6 +77,12 @@ class TrainConfig(NamedTuple):
     warmup_steps: int = 100
     reward_scale: float = 0.2
     updates_per_step: int = 1
+    # closed-loop collect path: "auto" routes eligible configs (battery+PV
+    # family, D % 128 == 0) to the chunked Pallas collect
+    # (ops/pallas_collect.py); "scan" forces the per-step XLA scan;
+    # "kernel" asserts eligibility
+    collect: str = "auto"
+    collect_chunk: int = 64             # env steps fused per kernel chunk
 
 
 class TrainState(NamedTuple):
@@ -185,6 +191,35 @@ class BatchedSAC:
         self._init_state(seed)
         self._train_chunk = jax.jit(self._build_train_chunk(),
                                     static_argnames=("n_steps",))
+
+        # ---- closed-loop kernel collect (battery+PV family) ----
+        # env-step phase within the current episode (all districts advance
+        # in lockstep: termination is time-driven), tracked host-side so
+        # collect chunks can be episode-aligned with static chunk lengths
+        self._phase = 0
+        self._collect_cache = {}
+        self.use_kernel_collect = self._kernel_collect_eligible()
+        if cfg.collect == "kernel" and not self.use_kernel_collect:
+            raise ValueError(
+                "collect='kernel' requires a battery+PV-family config "
+                "(rollout_fast.eligible), n_districts % 128 == 0, no mesh "
+                "and no coordination observations")
+        if self.use_kernel_collect:
+            from citylearn_tpu.ops.pallas_collect import (
+                prepare_battery_collect,
+            )
+
+            self._collect_prep = prepare_battery_collect(self.env_cfg,
+                                                         self.params)
+            # Pallas TPU kernels have no compiled CPU lowering — interpret
+            # there (tests); compile on TPU
+            self._collect_interpret = jax.default_backend() == "cpu"
+            # whole-range encoded observations (T, A, K): the policy input
+            # is purely data-driven (obs_static semantics), so it encodes
+            # ONCE per trainer instead of once per step
+            self._enc_table = jax.jit(lambda tbl: jax.vmap(
+                lambda row: jax.vmap(encode_obs)(self.enc_stack, row))(tbl)
+            )(self.params.obs_static)
 
     # ------------------------------------------------------------------
     def _draw_offsets(self, key, n):
@@ -420,6 +455,186 @@ class BatchedSAC:
         return chunk
 
     # ------------------------------------------------------------------
+    # closed-loop kernel collect (VERDICT r4 #1): the env-scan collect was
+    # 73% of the round-4 train-step cost (tools/profile_train.py); here a
+    # K-step chunk runs as ONE batched MXU policy sweep + ONE Pallas
+    # recurrence launch (ops/pallas_collect.py), then K interleaved SAC
+    # updates. RNG replays the per-step key chain of ``one_step`` exactly,
+    # so warmup-phase transitions are bit-identical to the scan path.
+    # ------------------------------------------------------------------
+    def _kernel_collect_eligible(self) -> bool:
+        from citylearn_tpu.core import rollout_fast
+        from citylearn_tpu.ops.pallas_collect import DL
+
+        return (self.cfg.collect != "scan"
+                and rollout_fast.eligible(self.env_cfg)
+                and self.cfg.n_districts % DL == 0
+                and self.extra_obs_dim == 0
+                and self.mesh is None)
+
+    def _get_collect_fn(self, kc: int, first_chunk: bool, do_reset: bool):
+        key = (kc, first_chunk, do_reset)
+        if key not in self._collect_cache:
+            self._collect_cache[key] = jax.jit(
+                self._build_collect_fn(kc, first_chunk, do_reset))
+        return self._collect_cache[key]
+
+    def _build_collect_fn(self, kc: int, first_chunk: bool, do_reset: bool):
+        """One fused collect+update program for a ``kc``-step episode-
+        aligned chunk. Semantics vs ``one_step``: the RNG chain, stored
+        transitions and battery state are identical (bit-exact during
+        warmup); the one deliberate difference is **actor-learner lag** —
+        the whole chunk's actions are sampled from the chunk-START policy
+        params, then the chunk's ``kc`` updates run (each sampling with
+        its own per-step keys), whereas the scan interleaves an update
+        after every step. Off-policy SAC is insensitive to this lag
+        (tests/test_collect_fast.py)."""
+        from citylearn_tpu.agents.sac import _policy_forward
+        from citylearn_tpu.ops.pallas_collect import battery_collect_chunk
+
+        cfg = self.cfg
+        D = cfg.n_districts
+        A = self.env_cfg.n_buildings
+        M = self.act_dim
+        ES = ACTION_KEYS.index("electrical_storage")
+        w_es = self.w_bld[:, :, ES]                        # (A, M) one-hot
+        done_row = np.zeros((kc,), np.float32)
+        if do_reset:
+            done_row[-1] = 1.0
+        vupdate = jax.vmap(self._make_update_agent(),
+                           in_axes=(0, 1, 0, 0, 0, 0))
+
+        def collect(ts: TrainState):
+            # -- replay the per-step key chain of one_step --------------
+            def key_body(k, _):
+                ks = jax.random.split(k, 6)
+                return ks[0], ks[1:]
+            key_final, per_step = jax.lax.scan(key_body, ts.key, None,
+                                               length=kc)   # (kc, 5, 2)
+            k_act, k_expl, k_sample, k_upd, k_reset = (
+                per_step[:, i] for i in range(5))
+
+            steps = jnp.arange(kc, dtype=jnp.int32)
+            off = ts.env_state.data_offset                  # (D,)
+            tau = off[None, :] + ts.env_state.t[None, :] + steps[:, None]
+            obs = jnp.take(self._enc_table, tau, axis=0)    # (kc, D, A, K)
+
+            # -- policy sweep: one batched MLP stack over the chunk -----
+            mean, log_std = jax.vmap(_policy_forward, in_axes=(0, 2),
+                                     out_axes=2)(ts.nets.policy, obs)
+            keys_a = jax.vmap(lambda k: jax.random.split(k, A))(k_act)
+            noise = jax.vmap(jax.vmap(
+                lambda k: jax.random.normal(k, (D, M))))(keys_a)
+            noise = jnp.transpose(noise, (0, 2, 1, 3))      # (kc, D, A, M)
+            y_t = jnp.tanh(mean + jnp.exp(log_std) * noise)
+            a_pi = (y_t * self.action_scale + self.action_bias) \
+                * self.act_mask
+            a_rand = jax.vmap(lambda k: jax.random.uniform(
+                k, (D, A, M), minval=self.act_low,
+                maxval=self.act_high))(k_expl)
+            explore = (ts.step + steps) < cfg.warmup_steps  # (kc,)
+            a_env = jnp.where(explore[:, None, None, None], a_rand, a_pi)
+
+            # -- env recurrence: per-district series at each window -----
+            es = jnp.einsum("kdam,am->kda", a_env, w_es)    # (kc, D, B)
+            nsl = jnp.take(self.params.series.non_shiftable_load, tau,
+                           axis=0)                          # (kc, D, B)
+            sol = jnp.take(self.params.series.solar_generation, tau, axis=0)
+            st = ts.env_state
+            rew_b, soc, eff, deg = battery_collect_chunk(
+                self._collect_prep, es, nsl, sol,
+                st.battery_soc, st.battery_efficiency,
+                st.battery_degraded_capacity, first_chunk=first_chunk,
+                interpret=self._collect_interpret)
+            reward = rew_b * cfg.reward_scale               # (kc, D, A)
+
+            # next_obs: the following step's data row (pre-reset at the
+            # episode boundary, matching one_step's store semantics)
+            tau_last = off + ts.env_state.t + kc            # (D,)
+            obs_next_last = jnp.take(self._enc_table, tau_last, axis=0)
+            next_obs = jnp.concatenate([obs[1:], obs_next_last[None]], 0)
+
+            # -- replay ring writes (chunk-sized, device-local) ---------
+            S = ts.replay_done.shape[0]
+            slot = ts.replay_pos
+            idx = (slot + steps) % S
+            done = jnp.broadcast_to(jnp.asarray(done_row)[:, None], (kc, D))
+            ts = ts._replace(
+                replay_obs=ts.replay_obs.at[idx].set(obs),
+                replay_act=ts.replay_act.at[idx].set(a_env),
+                replay_rew=ts.replay_rew.at[idx].set(reward),
+                replay_next=ts.replay_next.at[idx].set(next_obs),
+                replay_done=ts.replay_done.at[idx].set(done),
+                replay_pos=(slot + kc) % S,
+                replay_full=ts.replay_full | (slot + kc >= S))
+
+            # -- kc interleaved SAC updates (same cadence as one_step;
+            # updates may sample any transition of this chunk) ----------
+            pos_after = (slot + steps + 1) % S
+            full_after = ts.replay_full | (slot + steps + 1 >= S)
+            slots_avail = jnp.where(full_after, S, pos_after)
+            can_update = (slots_avail * D >= cfg.batch_size) & ~explore
+
+            def upd_body(nets, inp):
+                ks_t, ku_t, can, avail = inp
+
+                def do(n):
+                    ks1, ks2 = jax.random.split(ks_t)
+                    sel_s = jax.random.randint(ks1, (cfg.batch_size,), 0,
+                                               jnp.maximum(avail, 1))
+                    sel_d = jax.random.randint(ks2, (cfg.batch_size,), 0, D)
+                    pick = lambda buf: buf[sel_s, sel_d]
+                    batch = (pick(ts.replay_obs), pick(ts.replay_act),
+                             pick(ts.replay_rew), pick(ts.replay_next),
+                             jnp.broadcast_to(
+                                 pick(ts.replay_done)[:, None],
+                                 (cfg.batch_size, A)))
+                    return vupdate(n, batch, jax.random.split(ku_t, A),
+                                   self.action_scale, self.action_bias,
+                                   self.act_mask)
+
+                return jax.lax.cond(can, do, lambda n: n, nets), None
+
+            nets, _ = jax.lax.scan(
+                upd_body, ts.nets, (k_sample, k_upd, can_update, slots_avail))
+
+            # -- post-chunk env state + carried observation -------------
+            if do_reset:
+                env_state = self._broadcast_initial(
+                    self._draw_offsets(k_reset[-1], D))
+                cur_obs = jnp.take(self._enc_table,
+                                   env_state.data_offset, axis=0)
+            else:
+                env_state = st.replace(
+                    t=st.t + kc, battery_soc=soc, battery_efficiency=eff,
+                    battery_degraded_capacity=deg)
+                cur_obs = obs_next_last
+            ts = ts._replace(env_state=env_state, nets=nets, key=key_final,
+                             step=ts.step + kc, cur_obs=cur_obs)
+            return ts, jnp.sum(reward)
+
+        return collect
+
+    def _train_kernel_chunk(self, n: int) -> float:
+        """Run ``n`` env steps through episode-aligned kernel-collect
+        chunks; returns the summed (scaled) reward over the chunk."""
+        S_ep = self.env_cfg.time_steps - 1
+        S_slots = int(self.state.replay_done.shape[0])
+        total = 0.0
+        left = n
+        while left > 0:
+            kc = min(left, self.cfg.collect_chunk, S_ep - self._phase,
+                     S_slots)
+            first = self._phase == 0
+            do_reset = self._phase + kc == S_ep
+            fn = self._get_collect_fn(kc, first, do_reset)
+            self.state, rsum = fn(self.state)
+            total += float(rsum)
+            self._phase = 0 if do_reset else self._phase + kc
+            left -= kc
+        return total
+
+    # ------------------------------------------------------------------
     def evaluate(self, n_steps: int = None,
                  baseline_condition: str = "_without_storage",
                  policy=None):
@@ -497,13 +712,17 @@ class BatchedSAC:
     # ------------------------------------------------------------------
     def train(self, n_steps: int, chunk: int = 200):
         """Run ``n_steps`` env steps of collect+update; returns mean reward
-        per chunk."""
+        per chunk. Battery+PV-family configs route to the chunked Pallas
+        collect (``use_kernel_collect``); others run the per-step scan."""
         history = []
         remaining = n_steps
         while remaining > 0:
             n = min(chunk, remaining)
-            self.state, rewards = self._train_chunk(self.state, n_steps=n)
-            history.append(float(jnp.mean(rewards)))
+            if self.use_kernel_collect:
+                history.append(self._train_kernel_chunk(n) / n)
+            else:
+                self.state, rewards = self._train_chunk(self.state, n_steps=n)
+                history.append(float(jnp.mean(rewards)))
             remaining -= n
         return history
 
@@ -564,5 +783,8 @@ class BatchedSAC:
         self.state = jax.tree_util.tree_map(
             lambda cur, new: jnp.asarray(cur if cur.size == 0 else new),
             template, restored)
+        # re-sync the host-side episode phase for the kernel-collect path
+        # (districts advance in lockstep, so any row's t is THE phase)
+        self._phase = int(np.asarray(self.state.env_state.t).ravel()[0])
         if self.mesh is not None:
             self.state = self._shard_state(self.state)
