@@ -293,9 +293,11 @@ class Simulator:
         if family is None:
             raise ValueError(
                 "--fast requires a kernel-eligible configuration "
-                "(battery+PV, thermal, LSTM-dynamics or EV family — no "
-                "outages/occupants/charging constraints); run without "
-                "--fast for the general path")
+                "(battery+PV, thermal, LSTM-dynamics or EV family; see "
+                "core/rollout_fast.eligible_* — occupant-interaction "
+                "datasets and per-family data-level limits such as "
+                "lane-packing bounds are excluded); run without --fast "
+                "for the general path")
         if int(getattr(env, "_offset", 0)) != 0:
             raise ValueError(
                 "--fast evaluates the default episode window (offset 0); "

@@ -23,10 +23,15 @@ def synthesize_year(schema_path: str, out_dir: str = None) -> str:
 
     src = os.path.dirname(os.path.abspath(schema_path))
     if out_dir is None:
-        # deterministic cache dir: repeated bench runs reuse one copy
-        # instead of leaking a fresh multi-MB dataset per run
-        tag = hashlib.md5(src.encode()).hexdigest()[:10]
-        out_dir = os.path.join(tempfile.gettempdir(), f"lstm_year_{tag}")
+        # deterministic cache dir keyed by path AND source content
+        # (name/mtime/size of every file): repeated bench runs reuse one
+        # copy, while edited source CSVs invalidate the stale cache
+        h = hashlib.md5(src.encode())
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            h.update(f"{name}:{st.st_mtime_ns}:{st.st_size}".encode())
+        out_dir = os.path.join(tempfile.gettempdir(),
+                               f"lstm_year_{h.hexdigest()[:10]}")
         marker = os.path.join(out_dir, "schema.json")
         if os.path.exists(marker):
             return marker
@@ -34,18 +39,19 @@ def synthesize_year(schema_path: str, out_dir: str = None) -> str:
     with open(schema_path) as f:
         schema = json.load(f)
 
+    schema_name = os.path.basename(schema_path)
     for name in os.listdir(src):
         p = os.path.join(src, name)
-        if not os.path.isfile(p):
+        if not os.path.isfile(p) or name == schema_name:
             continue
         if name.endswith(".csv"):
             df = pd.read_csv(p)
             reps = (YEAR + len(df) - 1) // len(df)
             big = pd.concat([df] * reps, ignore_index=True).iloc[:YEAR]
             big.to_csv(os.path.join(out_dir, name), index=False)
-        elif name.endswith(".json"):
-            continue
         else:
+            # auxiliary files (LSTM .pth weights, any non-schema json)
+            # copy verbatim
             shutil.copy(p, os.path.join(out_dir, name))
 
     schema["root_directory"] = out_dir
