@@ -38,11 +38,20 @@ def eligible(cfg: StaticConfig) -> bool:
 def eligible_thermal(cfg: StaticConfig) -> bool:
     """Cooling/DHW + battery districts (the 2021 challenge family):
     thermal tanks and heat-pump/heater devices fused whole-episode; no
-    heating end-use, outage, dynamics, EVs, WMs or occupants."""
+    heating end-use, outage, dynamics, EVs, WMs or occupants.
+
+    central_agent is allowed (VERDICT r4 #5): central agency only changes
+    reward AGGREGATION and observation layout, never the physics or the
+    KPI series the kernel records — exactly the LSTM gate's reasoning.
+    The kernel's reward_sum output stays per-building; the central
+    default reward (``-max(district_net, 0)``, reference
+    ``reward_function.py:77-80``) is NOT its sum, so consumers needing
+    the central reward use the scan path — kernel-backed *evaluation*
+    (the product surface) never reads rewards."""
     return ((cfg.any_cooling or cfg.any_dhw) and not cfg.any_heating
             and not cfg.has_dynamics and not cfg.has_evs
             and not cfg.has_washing_machines and not cfg.any_outage
-            and not cfg.has_occupant and not cfg.central_agent
+            and not cfg.has_occupant
             and cfg.reward_per_building is None
             and cfg.reward_type in _REWARD_OK
             and cfg.reward_exponent == 1.0)
@@ -184,11 +193,14 @@ def eligible_ev(cfg: StaticConfig) -> bool:
     ``..._plus_evs`` and charging-constraints configurations): no thermal
     end-uses, outage, dynamics or occupants. Charging constraints are
     action-only math, precomputed host-side by the dispatcher
-    (scaled per-charger plans + violation streams)."""
+    (scaled per-charger plans + violation streams).
+
+    central_agent is allowed — same reasoning as
+    :func:`eligible_thermal`: only reward aggregation and observation
+    layout change, not physics; kernel reward_sum stays per-building."""
     return (cfg.has_evs and not cfg.any_cooling and not cfg.any_heating
             and not cfg.any_dhw and not cfg.has_dynamics
             and not cfg.any_outage and not cfg.has_occupant
-            and not cfg.central_agent
             and cfg.reward_per_building is None
             and (cfg.reward_type == "Electric_Vehicles_Reward_Function"
                  or (cfg.reward_type in _REWARD_OK

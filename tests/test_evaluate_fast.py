@@ -95,6 +95,36 @@ def test_thermal_2020_full_table():
     }))
 
 
+def test_thermal_2021_central_full_table():
+    """BASELINE config 3 — the CENTRALIZED 2021 district — rides the
+    thermal kernel (VERDICT r4 #5): central agency changes reward
+    aggregation and observation layout only, never the recorded physics,
+    so the full KPI table must match the scan path exactly as in the
+    decentralized case."""
+    spec = compile_schema(f"{DATASETS}/citylearn_challenge_2021/schema.json",
+                          random_seed=0, central_agent=True,
+                          episode_time_steps=240)
+    cfg, params = pack(spec)[:2]
+    assert cfg.central_agent and kernel_family(cfg) == "thermal"
+    _compare(cfg, params, ScriptedPolicy(dict(THERMAL_TABLES)))
+
+
+def test_ev_central_full_table():
+    """Centralized plus_evs (chargers + washing machines) on the EV
+    kernel — same reasoning as the thermal central gate."""
+    spec = compile_schema(
+        f"{DATASETS}/citylearn_challenge_2022_phase_all_plus_evs/schema.json",
+        random_seed=0, central_agent=True, episode_time_steps=168)
+    cfg, params = pack(spec)[:2]
+    assert cfg.central_agent and kernel_family(cfg) == "ev"
+    policy = ScriptedPolicy({
+        "electrical_storage": BAT_TABLE,
+        "electric_vehicle_storage": np.full(24, 0.5, np.float32),
+        "washing_machine": np.ones(24, np.float32),
+    })
+    _compare(cfg, params, policy)
+
+
 def test_lstm_2023_full_table():
     """The LSTM-dynamics kernel family through the user-facing evaluate
     dispatch, with the partial-load counterfactual baseline."""
