@@ -307,5 +307,25 @@ def evaluate_districts(cfg: StaticConfig, params: DistrictParams,
                     for k, v in table.items()}
         S = (cfg.time_steps - 1) if n_steps is None else int(n_steps)
         policy_fn = policy_fn.as_policy_fn(cfg, params, S)
-    run = evaluate_districts_fn(cfg, policy_fn, n_steps, baseline_condition)
-    return jax.jit(run)(params, states)
+    run = jax.jit(evaluate_districts_fn(cfg, policy_fn, n_steps,
+                                        baseline_condition))
+    D = states.t.shape[0]
+    from citylearn_tpu.core.rollout import EV_SCAN_SAFE_D, _ev_scan_chunked
+
+    if _ev_scan_chunked(cfg, D):
+        # the XLA charger-scan program crashes the TPU worker at
+        # D >= 2048 (see rollout.EV_SCAN_SAFE_D) — chunk the batch
+        import warnings
+
+        warnings.warn(
+            f"chunking EV evaluate_districts into {EV_SCAN_SAFE_D}-"
+            "district launches (TPU charger-scan crash guard; see "
+            "core/rollout.EV_SCAN_SAFE_D)", RuntimeWarning, stacklevel=2)
+        tables = []
+        for lo in range(0, D, EV_SCAN_SAFE_D):
+            sub = jax.tree_util.tree_map(
+                lambda x: x[lo:lo + EV_SCAN_SAFE_D], states)
+            tables.append(run(params, sub))
+        return {k: jnp.concatenate([t[k] for t in tables], axis=0)
+                for k in tables[0]}
+    return run(params, states)
