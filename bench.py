@@ -212,6 +212,38 @@ def _bench_ev_fast(schema, D, episode_time_steps, reps):
     return D * S / elapsed, dict(D=D, S=S, B=cfg.n_buildings, path="pallas")
 
 
+def _bench_eval_fast_sharded(schema, D, episode_time_steps, reps):
+    """district-steps/s of the kernel-backed evaluate dispatched under
+    the dp mesh (shard_map over district tiles, VERDICT r4 #2) — on the
+    single-chip bench host the mesh has one device, so this times the
+    sharded dispatch path itself; multi-chip layouts are gated
+    structurally by __graft_entry__.dryrun_multichip (gate 5)."""
+    import jax
+
+    from citylearn_tpu.compiler.schema import compile_schema
+    from citylearn_tpu.core.evaluate_fast import (
+        ScriptedPolicy,
+        evaluate_scripted,
+    )
+    from citylearn_tpu.core.params import pack
+    from citylearn_tpu.parallel import district_mesh
+
+    spec = compile_schema(schema, random_seed=0, central_agent=False,
+                          episode_time_steps=episode_time_steps)
+    cfg, params, _ = pack(spec)
+    S = cfg.time_steps - 1
+    mesh = district_mesh()
+    n_dev = len(mesh.devices.ravel())
+    policy = ScriptedPolicy({"electrical_storage": np.where(
+        np.arange(1, 25) < 9, 0.091, -0.08).astype(np.float32)})
+    run = lambda: np.asarray(evaluate_scripted(
+        cfg, params, policy, n_districts=D,
+        mesh=mesh)["district|cost_total"])
+    elapsed = _timeit(run, reps)
+    return D * S / elapsed, dict(D=D, S=S, B=cfg.n_buildings,
+                                 devices=n_dev, path="pallas+shard_map")
+
+
 def _bench_train_step(schema, D, reps, force_scan=False):
     """BatchedSAC train-step throughput: closed-loop collect + replay +
     twin-Q/policy updates for D districts. Battery-family configs route
@@ -402,6 +434,12 @@ def main():
              f"{DATASETS}/citylearn_challenge_2022_phase_1/schema.json",
              int(os.environ.get("BENCH_D_EVAL", "2048")), 8760,
              ("electrical_storage",)),
+            # kernel-backed evaluate dispatched under the dp mesh
+            # (shard_map over district tiles; VERDICT r4 #2)
+            ("eval_fast_sharded",
+             f"{DATASETS}/citylearn_challenge_2022_phase_1/schema.json",
+             int(os.environ.get("BENCH_D_EVAL", "2048")), 8760,
+             ("electrical_storage",)),
         ]
         for name, sch, d, ets, keys in rows:
             if name in matrix and "district_steps_per_sec" in matrix[name]:
@@ -428,6 +466,12 @@ def main():
                                     **meta}
                     _child_checkpoint(matrix)
                     continue
+                elif name == "eval_fast_sharded" and is_child:
+                    sps, meta = _bench_eval_fast_sharded(sch, d, ets, mreps)
+                    matrix[name] = {"district_steps_per_sec": round(sps, 1),
+                                    **meta}
+                    _child_checkpoint(matrix)
+                    continue
                 elif name == "c2023p1_lstm" and is_child:
                     sps, meta = _bench_lstm_fast(sch, d, ets, mreps)
                     matrix[name] = {"district_steps_per_sec": round(sps, 1),
@@ -436,8 +480,8 @@ def main():
                     continue
                 elif is_child:
                     continue                   # XLA rows run in the parent
-                elif name == "eval_fast":
-                    continue                   # Pallas-only row (child)
+                elif name in ("eval_fast", "eval_fast_sharded"):
+                    continue                   # Pallas-only rows (child)
                 else:
                     # the EV row's XLA-scan fallback runs D=2048 through
                     # rollout_districts, which chunks into 1024-district

@@ -298,11 +298,12 @@ class Simulator:
                 "datasets and per-family data-level limits such as "
                 "lane-packing bounds are excluded); run without --fast "
                 "for the general path")
-        if int(getattr(env, "_offset", 0)) != 0:
+        offset = int(getattr(env, "_offset", 0))
+        if offset != 0 and cfg.has_stochastic_outage:
             raise ValueError(
-                "--fast evaluates the default episode window (offset 0); "
-                "this env's episode window starts at sim-range offset "
-                f"{int(env._offset)} — run without --fast")
+                "--fast on a shifted window of a stochastic-outage "
+                "dataset is unsupported (signal baked per default "
+                "window) — run without --fast")
         agent = self.agent
         if isinstance(agent, HourRBC) and agent.action_map is not None:
             policy = ScriptedPolicy.from_hour_rbc(agent, cfg.n_buildings,
@@ -321,7 +322,8 @@ class Simulator:
                     if cfg.has_dynamics else "_without_storage")
         table, rec = evaluate_scripted(cfg, params, policy,
                                        baseline_condition=baseline,
-                                       return_series=True)
+                                       return_series=True,
+                                       data_offset=offset)
         rec = np.asarray(rec, np.float64)
 
         names = [b.name for b in env.buildings]
@@ -371,7 +373,8 @@ class Simulator:
                     R_BBAL, R_BSOC, R_CBAL, R_COUT, R_CSOC, R_DBAL, R_DOUT,
                     R_DSOC, R_NET)
                 bal = rec[R_BBAL, :, i]
-                data_end = lambda arr: np.asarray(arr, np.float64)[S:S + 1, i]
+                data_end = lambda arr: np.asarray(
+                    arr, np.float64)[offset + S:offset + S + 1, i]
                 # the demand-met histories' final unwritten row reads the
                 # DATA demand (envs/environment._sync_unwritten_row)
                 fin_d = lambda col, arr: np.concatenate(
@@ -399,7 +402,8 @@ class Simulator:
                     cols["cooling_demand"] = fin_d(rec[R_CDEM, :, i],
                                                    ser.cooling_demand)
             cols["non_shiftable_load"] = np.asarray(
-                ser.non_shiftable_load, np.float64)[:S + 1, i].tolist()
+                ser.non_shiftable_load,
+                np.float64)[offset:offset + S + 1, i].tolist()
             series_out[n] = cols
 
         return {

@@ -285,13 +285,17 @@ def evaluate_districts(cfg: StaticConfig, params: DistrictParams,
         import numpy as np
 
         D = states.t.shape[0]
-        # the kernel evaluates ONE district from the packed default initial
-        # state and broadcasts — so every district state must EQUAL that
-        # default (a caller's hand-modified SOCs at t=0 would otherwise be
-        # silently ignored); anything else falls back to the scan
+        # the kernel evaluates ONE district from the packed initial state
+        # at the batch's (shared) episode-window offset and broadcasts —
+        # so every district state must EQUAL that fresh state (a caller's
+        # hand-modified SOCs at t=0, mixed offsets, or an advanced t
+        # would otherwise be silently ignored); anything else falls back
+        # to the scan
         from citylearn_tpu.core.params import initial_state
 
-        init = initial_state(cfg, params, 0)
+        offs = np.asarray(states.data_offset)
+        off0 = int(offs.ravel()[0]) if offs.size else 0
+        init = initial_state(cfg, params, off0)
         fresh = all(
             bool(np.all(np.asarray(s_leaf) == np.asarray(i_leaf)[None]))
             for s_leaf, i_leaf in zip(jax.tree_util.tree_leaves(states),
@@ -299,9 +303,11 @@ def evaluate_districts(cfg: StaticConfig, params: DistrictParams,
         family = kernel_family(cfg)
         if family == "lstm" and not rollout_fast.lstm_packable(cfg, params):
             family = None
+        if off0 and cfg.has_stochastic_outage:
+            family = None           # needs a caller-rebaked signal; scan
         if family is not None and fresh:
             table = evaluate_scripted(cfg, params, policy_fn, n_steps,
-                                      baseline_condition)
+                                      baseline_condition, data_offset=off0)
             # identical fresh districts -> identical tables; broadcast
             return {k: jnp.broadcast_to(v, (D,) + v.shape)
                     for k, v in table.items()}

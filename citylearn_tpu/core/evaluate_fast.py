@@ -112,11 +112,14 @@ class ScriptedPolicy:
         return cls(plans)
 
     def expanded(self, cfg: StaticConfig, params: DistrictParams,
-                 n_steps: int) -> Dict[str, np.ndarray]:
+                 n_steps: int, data_offset: int = 0) -> Dict[str, np.ndarray]:
         """Normalize every plan to (S, n) over its target axis —
         buildings for building-level actions, chargers for
-        ``electric_vehicle_storage``, machines for ``washing_machine``."""
-        hours = np.asarray(params.series.hour)[:n_steps, 0]
+        ``electric_vehicle_storage``, machines for ``washing_machine``.
+        Hour tables resolve against the episode window's hours
+        (``data_offset``); explicit plans are episode-relative."""
+        hours = np.asarray(params.series.hour)[data_offset:data_offset
+                                               + n_steps, 0]
         out = {}
         for k, v in self.plans.items():
             n = {"electric_vehicle_storage": max(cfg.n_chargers, 1),
@@ -195,14 +198,16 @@ def _with_t0_double(bal: jnp.ndarray) -> jnp.ndarray:
 
 def _assembler(cfg: StaticConfig, family: str, S: int,
                baseline_condition: str) -> Callable:
-    """Jitted (params, rec) -> KPI dict for one district, reusing
-    :func:`citylearn_tpu.core.evaluate.kpi_table` on a ``collected`` dict
-    rebuilt from the kernel's recorded streams + the data series."""
+    """Jitted (params, rec, start_tau) -> KPI dict for one district,
+    reusing :func:`citylearn_tpu.core.evaluate.kpi_table` on a
+    ``collected`` dict rebuilt from the kernel's recorded streams + the
+    data series of the episode window ``[start_tau, start_tau + S)``."""
     from citylearn_tpu.core.evaluate import kpi_table
 
-    def run(params: DistrictParams, rec: jnp.ndarray):
+    def run(params: DistrictParams, rec: jnp.ndarray, start_tau):
         ser = params.series
-        w = lambda arr: jax.lax.dynamic_slice_in_dim(arr, 0, S, axis=0)
+        w = lambda arr: jax.lax.dynamic_slice_in_dim(arr, start_tau, S,
+                                                     axis=0)
         if family == "battery":
             net, bbal, _soc = rec[0], rec[1], rec[2]
             storage = _with_t0_double(bbal)
@@ -253,7 +258,7 @@ def _assembler(cfg: StaticConfig, family: str, S: int,
                 heating_demand_actual=w(ser.heating_demand),
                 served=served,
             )
-            return kpi_table(cfg, params, collected, jnp.int32(0),
+            return kpi_table(cfg, params, collected, start_tau,
                              baseline_condition)
         else:
             from citylearn_tpu.ops.pallas_thermal import (
@@ -287,7 +292,7 @@ def _assembler(cfg: StaticConfig, family: str, S: int,
             heating_demand_actual=w(ser.heating_demand),
             served=served,
         )
-        return kpi_table(cfg, params, collected, jnp.int32(0),
+        return kpi_table(cfg, params, collected, start_tau,
                          baseline_condition)
 
     return jax.jit(run)
@@ -300,7 +305,8 @@ def evaluate_scripted(cfg: StaticConfig, params: DistrictParams,
                       policy: ScriptedPolicy, n_steps: int = None,
                       baseline_condition: str = "_without_storage",
                       n_districts: int = None, interpret: bool = False,
-                      return_series: bool = False):
+                      return_series: bool = False, data_offset: int = 0,
+                      mesh=None):
     """Full normalized KPI table for ONE district under an open-loop
     policy, computed on a whole-episode Pallas kernel.
 
@@ -308,53 +314,74 @@ def evaluate_scripted(cfg: StaticConfig, params: DistrictParams,
     Returns the same ``building|<kpi>`` -> (B,) / ``district|<kpi>`` ->
     scalar dict as :func:`citylearn_tpu.core.evaluate.kpi_table`; with
     ``return_series=True`` also returns the raw recorded (N_REC, S, B)
-    per-step stream (see the kernel modules' row constants)."""
+    per-step stream (see the kernel modules' row constants).
+
+    ``data_offset`` evaluates a shifted episode window [off, off + S) —
+    the reference's rolling/random splits (``base.py:76-129``): driver
+    series, hour tables and the KPI window all follow the offset.
+    Stochastic-outage signals are baked for the default window only
+    (core/params.py) — rebake via
+    :func:`citylearn_tpu.core.params.rebake_outage` for other windows.
+
+    ``mesh`` (1-D ``dp`` :class:`jax.sharding.Mesh`) shards the district
+    batch over devices: one collective-free kernel launch per device
+    (``rollout_fast._shard_launch``); the KPI assembly runs once from
+    shard 0's recorded stream."""
     family = kernel_family(cfg)
     if family is None:
         raise ValueError("configuration is not kernel-eligible; use "
                          "evaluate_districts (XLA scan) instead")
+    off = int(data_offset)
+    if off and cfg.has_stochastic_outage:
+        raise ValueError(
+            "shifted windows on a stochastic-outage dataset need the "
+            "signal rebaked for that window: params = "
+            "rebake_outage(spec, cfg, params, data_offset)  "
+            "(core/params.py) — or pass the rebaked params here")
     # Pallas TPU kernels have no compiled CPU lowering — run the
     # interpreter there (tests / CPU-only hosts) and compile on TPU
     interpret = interpret or jax.default_backend() == "cpu"
     S = (cfg.time_steps - 1) if n_steps is None else int(n_steps)
-    plans = policy.expanded(cfg, params, S)
+    plans = policy.expanded(cfg, params, S, data_offset=off)
+    n_shards = 1 if mesh is None else int(np.prod(mesh.devices.shape))
     if family == "battery":
-        D = n_districts or rollout_fast.TILE_D
+        D = n_districts or rollout_fast.TILE_D * n_shards
         out = rollout_fast.run_battery_episode(
             cfg, params, D, plans.get("electrical_storage",
                                       np.zeros((S, cfg.n_buildings),
                                                np.float32)),
-            n_steps=S, interpret=interpret, record_series=True)
+            n_steps=S, interpret=interpret, record_series=True,
+            data_offset=off, mesh=mesh)
         rec = out[-1]
     elif family == "lstm":
         if not rollout_fast.lstm_packable(cfg, params):
             raise ValueError("LSTM configuration not kernel-packable; use "
                              "evaluate_districts (XLA scan) instead")
         from citylearn_tpu.ops.pallas_lstm import TILE_D as TILE_D_L
-        D = n_districts or TILE_D_L
+        D = n_districts or TILE_D_L * n_shards
         out = rollout_fast.run_lstm_episode(
             cfg, params, D, plans, n_steps=S, interpret=interpret,
-            record_series=True)
+            record_series=True, data_offset=off, mesh=mesh)
         rec = out[-1]
     elif family == "ev":
         from citylearn_tpu.ops.pallas_ev import TILE_D as TILE_D_E
-        D = n_districts or TILE_D_E
+        D = n_districts or TILE_D_E * n_shards
         out = rollout_fast.run_ev_episode(
             cfg, params, D, plans, n_steps=S, interpret=interpret,
-            record_series=True)
+            record_series=True, data_offset=off, mesh=mesh)
         rec = out[-1]
     else:
         from citylearn_tpu.ops.pallas_thermal import TILE_D as TILE_D_TH
-        D = n_districts or TILE_D_TH
+        D = n_districts or TILE_D_TH * n_shards
         out = rollout_fast.run_thermal_episode(
             cfg, params, D, plans, n_steps=S, interpret=interpret,
-            record_series=True)
+            record_series=True, data_offset=off, mesh=mesh)
         rec = out[-1]
 
     key = (cfg, family, S, baseline_condition)
     if key not in _ASSEMBLER_CACHE:
         _ASSEMBLER_CACHE[key] = _assembler(cfg, family, S, baseline_condition)
-    table = _ASSEMBLER_CACHE[key](params, rec)
+    table = _ASSEMBLER_CACHE[key](params, rec, jnp.int32(off))
     if return_series:
         return table, rec
     return table

@@ -330,6 +330,42 @@ def pack(spec: DistrictSpec, param_dtype=np.float32
     return cfg, params, layout
 
 
+def rebake_outage(spec: DistrictSpec, cfg: StaticConfig,
+                  params: DistrictParams, data_offset: int
+                  ) -> DistrictParams:
+    """Re-bake stochastic-outage signals for the episode window starting
+    at sim-range row ``data_offset`` (the default ``pack`` bakes rows
+    [0, episode_steps) only). Returns params with the signal written at
+    rows [data_offset, data_offset + episode_steps); CSV-driven outage
+    columns are untouched (they are sim-range data already). Mirrors
+    ``envs/environment._refresh_outage_signals`` for batched/kernel
+    paths (VERDICT r4 #4)."""
+    from citylearn_tpu.envs.outage import building_outage_signal
+
+    if not cfg.has_stochastic_outage or data_offset == 0:
+        return params
+    ep_steps = spec.episode_time_steps
+    if ep_steps is None:
+        ep_steps = spec.simulation_time_steps
+    elif isinstance(ep_steps, list):
+        ep_steps = ep_steps[0][1] - ep_steps[0][0] + 1
+    ep_steps = int(ep_steps)
+    full = np.array(np.asarray(params.series.power_outage))
+    off = int(data_offset)
+    for bi, b in enumerate(spec.buildings):
+        if not (b.simulate_power_outage and b.stochastic_power_outage):
+            continue
+        start = spec.simulation_start_time_step + off
+        sig = building_outage_signal(b, ep_steps,
+                                     spec.seconds_per_time_step,
+                                     slice(start, start + ep_steps))
+        full[:, bi] = 0.0
+        n = min(ep_steps, full.shape[0] - off)
+        full[off:off + n, bi] = sig[:n]
+    return params.replace(series=params.series.replace(
+        power_outage=jnp.asarray(full)))
+
+
 def _pack_occupant(spec: DistrictSpec, episode_steps: int):
     """Stack occupant interaction models over buildings; precompute the
     per-step seeded uniform draws (``occupant.py:69-71``: a fresh

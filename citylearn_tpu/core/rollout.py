@@ -160,19 +160,25 @@ def make_batched_episode_fn(cfg: StaticConfig):
 
 
 def batched_initial_states(cfg: StaticConfig, params: DistrictParams,
-                           n_districts: int, data_offset: int = 0) -> EnvState:
+                           n_districts: int, data_offset: int = 0,
+                           outage_rebaked: bool = False) -> EnvState:
     """(D, ...) stacked initial states for ``make_batched_episode_fn``.
 
     Stochastic-outage datasets bake their signal for the default episode
-    window only (rows [0, episode_steps) of the sim range); a nonzero
-    ``data_offset`` would silently read all-zero outage signals, so it is
-    rejected here — use the Gym adapter (which re-bakes per window) for
-    shifted episodes of those datasets."""
-    if cfg.has_stochastic_outage and data_offset != 0:
+    window only (rows [0, episode_steps) of the sim range); for a shifted
+    window, rebake first —
+
+        params = rebake_outage(spec, cfg, params, data_offset)
+
+    (:func:`citylearn_tpu.core.params.rebake_outage`) and pass
+    ``outage_rebaked=True``; without it a nonzero offset would silently
+    read all-zero outage signals and is rejected."""
+    if cfg.has_stochastic_outage and data_offset != 0 and not outage_rebaked:
         raise ValueError(
-            "batched rollouts of stochastic-outage datasets require "
-            "data_offset == 0 (the baked signal covers the default window "
-            "only; see core/params.py)")
+            "batched rollouts of stochastic-outage datasets at a shifted "
+            "window need the signal rebaked for that window: params = "
+            "rebake_outage(spec, cfg, params, data_offset) "
+            "(core/params.py), then pass outage_rebaked=True")
     s = initial_state(cfg, params, data_offset)
     return jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (n_districts,) + x.shape), s)

@@ -57,10 +57,55 @@ def eligible_thermal(cfg: StaticConfig) -> bool:
             and cfg.reward_exponent == 1.0)
 
 
-def _pad_time(arr: np.ndarray, t_pad: int) -> np.ndarray:
+#: When set to a list, every ``_shard_launch`` also lowers+compiles its
+#: shard-mapped module and appends the HLO text — used by the
+#: ``dryrun_multichip`` structural gate to assert the sharded kernel
+#: surfaces stay collective-free.
+HLO_CAPTURE = None
+
+
+def _shard_launch(mesh, fn, shared, state_args, n_state_outs: int,
+                  record: bool, n_rec: int):
+    """Run a whole-episode kernel launch under the ``dp`` district mesh
+    via ``shard_map`` — share-nothing data parallelism over district
+    tiles (SURVEY §5.8): every shard runs its own kernel launch on its
+    local districts; driver series/params replicate; the compiled module
+    is collective-free (asserted by ``__graft_entry__.dryrun_multichip``
+    gate 5).
+
+    ``fn(shared, state_args)`` -> tuple of (D, ...) state outputs (+ the
+    (n_rec, T, B) record stream when ``record``). Each shard records its
+    own district-tile 0; shards' records stack on axis 0 and shard 0's
+    is returned (identical-district launches record identical streams).
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:                         # older jax spelling
+        from jax.experimental.shard_map import shard_map
+    out_specs = tuple([P("dp")] * n_state_outs
+                      + ([P("dp")] if record else []))
+    # check_vma off: the pallas_call's ShapeDtypeStruct outputs carry no
+    # varying-mesh-axes annotation; the launch is share-nothing by
+    # construction (asserted collective-free by dryrun gate 5)
+    smapped = shard_map(fn, mesh=mesh, in_specs=(P(), P("dp")),
+                        out_specs=out_specs, check_vma=False)
+    if HLO_CAPTURE is not None:
+        HLO_CAPTURE.append(jax.jit(smapped)
+                           .lower(shared, state_args).compile().as_text())
+    out = smapped(shared, state_args)
+    if record:
+        out = tuple(out[:-1]) + (out[-1][:n_rec],)
+    return out
+
+
+def _pad_time(arr: np.ndarray, t_pad: int, off: int = 0) -> np.ndarray:
+    """Pad the episode window ``[off, off + t_pad)`` of a sim-range
+    series to the kernel's chunked length (zeros past the range)."""
     out = np.zeros((t_pad,) + arr.shape[1:], arr.dtype)
-    n = min(arr.shape[0], t_pad)
-    out[:n] = arr[:n]
+    win = arr[off:off + t_pad]
+    out[:win.shape[0]] = win
     return out
 
 
@@ -82,16 +127,30 @@ def run_battery_episode(cfg: StaticConfig, params: DistrictParams,
                         n_districts: int, action_table: np.ndarray,
                         n_steps: Optional[int] = None,
                         interpret: bool = False,
-                        record_series: bool = False):
+                        record_series: bool = False,
+                        data_offset: int = 0,
+                        mesh=None):
     """Whole-episode rollout for ``n_districts`` identical district copies
     under an open-loop action plan ((24,) hour table, (S,) series or
     (S, B) per-building plan). Returns per-district per-building
     reward/cost/emission sums and final battery state; with
     ``record_series=True`` an extra (3, S, B) per-step stream of district
-    0's (net, raw battery balance, soc) is appended."""
+    0's (net, raw battery balance, soc) is appended.
+
+    ``data_offset`` selects a shifted episode window [off, off + S) of
+    the sim range (the reference's rolling/random ``EpisodeTracker``
+    splits, ``base.py:76-129``): driver series and hour tables follow the
+    window; explicit per-step plans stay episode-relative.
+
+    ``mesh`` (a 1-D ``dp`` :class:`jax.sharding.Mesh`) shards the
+    ``n_districts`` batch over devices via ``shard_map`` — one
+    collective-free kernel launch per device (see :func:`_shard_launch`)."""
     assert eligible(cfg), "configuration not eligible for the battery fast path"
     S = (cfg.time_steps - 1) if n_steps is None else n_steps
-    assert n_districts % TILE_D == 0, f"n_districts must be a multiple of {TILE_D}"
+    n_shards = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+    assert n_districts % (TILE_D * n_shards) == 0, \
+        f"n_districts must be a multiple of {TILE_D} x {n_shards} shards"
+    off = int(data_offset)
 
     B = params.battery.capacity.shape[0]
     assert B <= B_PAD, f"at most {B_PAD} buildings on the fast path"
@@ -106,9 +165,9 @@ def run_battery_episode(cfg: StaticConfig, params: DistrictParams,
         params.series.non_shiftable_load, params.series.solar_generation,
         params.series.electricity_pricing, params.series.carbon_intensity)]
     t_pad = ((S + T_CHUNK - 1) // T_CHUNK) * T_CHUNK
-    series = tuple(jnp.asarray(_pad_time(x, t_pad)) for x in series_np)
+    series = tuple(jnp.asarray(_pad_time(x, t_pad, off)) for x in series_np)
 
-    hours = np.asarray(params.series.hour)[:S, 0]
+    hours = np.asarray(params.series.hour)[off:off + S, 0]
     actions = np.zeros((t_pad, B_PAD), np.float32)
     actions[:S, :B] = expand_action_plan(action_table, hours, S, B)
 
@@ -150,12 +209,23 @@ def run_battery_episode(cfg: StaticConfig, params: DistrictParams,
     D = n_districts
     tile = lambda v: jnp.asarray(
         np.broadcast_to(pad_b(np.asarray(v))[None, :], (D, B_PAD)).copy())
-    out = battery_episode(
-        jnp.asarray(actions), series, bparams, curves,
-        tile(bat.initial_soc), tile(bat.efficiency), tile(bat.capacity),
-        n_steps=S, hours_ratio=cfg.seconds_per_time_step / 3600.0,
-        ratio=cfg.time_step_ratio, n_knots=n_knots, record=record_series,
-        interpret=interpret)
+    shared = (jnp.asarray(actions), series, bparams, curves)
+    state_args = (tile(bat.initial_soc), tile(bat.efficiency),
+                  tile(bat.capacity))
+
+    def launch(shared, state):
+        acts, ser, bp, cv = shared
+        return battery_episode(
+            acts, ser, bp, cv, *state,
+            n_steps=S, hours_ratio=cfg.seconds_per_time_step / 3600.0,
+            ratio=cfg.time_step_ratio, n_knots=n_knots,
+            record=record_series, interpret=interpret)
+
+    if mesh is None:
+        out = launch(shared, state_args)
+    else:
+        out = _shard_launch(mesh, launch, shared, state_args, 6,
+                            record_series, 3)
     sliced = tuple(o[:, :B] for o in out[:6])
     if record_series:
         sliced = sliced + (out[6][:, :S, :B],)
@@ -263,7 +333,9 @@ def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
                    n_districts: int, action_tables: dict,
                    n_steps: Optional[int] = None,
                    interpret: bool = False,
-                   record_series: bool = False):
+                   record_series: bool = False,
+                   data_offset: int = 0,
+                   mesh=None):
     """Whole-episode rollout on the EV kernel
     (:func:`citylearn_tpu.ops.pallas_ev.ev_episode`) for ``n_districts``
     identical district copies; ``action_tables``: open-loop plans per
@@ -288,7 +360,9 @@ def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
 
     assert eligible_ev(cfg), "configuration not eligible for the EV fast path"
     S = (cfg.time_steps - 1) if n_steps is None else n_steps
-    assert n_districts % TILE_D_EV == 0
+    n_shards = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+    assert n_districts % (TILE_D_EV * n_shards) == 0
+    off = int(data_offset)
     B = params.battery.capacity.shape[0]
     C, V, W = cfg.n_chargers, cfg.n_evs, cfg.n_washing_machines
     assert max(B, C, V, W) <= LANES
@@ -298,16 +372,21 @@ def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
     evp = params.evs
     t_pad = ((S + T_CHUNK_EV - 1) // T_CHUNK_EV) * T_CHUNK_EV
 
-    def stream(arr, fill=0.0):
-        a = _pad_b(np.asarray(arr, np.float32), fill)
+    def stream(arr, fill=0.0, win_off=0):
+        # win_off = off for sim-range series; charger/EV/WM event tensors
+        # are episode-relative (indexed by t on the scan path,
+        # core/step.py:352,421,461) and stay un-shifted
+        a = _pad_b(np.asarray(arr, np.float32)[win_off:win_off + t_pad],
+                   fill)
         out = np.full((t_pad,) + a.shape[1:], fill, np.float32)
-        n = min(a.shape[0], t_pad)
-        out[:n] = a[:n]
+        out[:a.shape[0]] = a
         return jnp.asarray(out)
 
     series = (
-        stream(ser.non_shiftable_load), stream(ser.solar_generation),
-        stream(ser.electricity_pricing), stream(ser.carbon_intensity),
+        stream(ser.non_shiftable_load, win_off=off),
+        stream(ser.solar_generation, win_off=off),
+        stream(ser.electricity_pricing, win_off=off),
+        stream(ser.carbon_intensity, win_off=off),
         stream(np.asarray(ch.connected_ev, np.float32), -1.0),
         stream(ch.required_soc), stream(ch.departure_time),
         stream(np.asarray(evp.force_soc), np.nan),
@@ -325,7 +404,7 @@ def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
         series = series + (z, z, jnp.asarray(np.zeros((t_pad, LANES), np.float32)))
         wm_bidx = np.zeros((0,), np.int64)
 
-    hours = np.asarray(ser.hour)[:S, 0]
+    hours = np.asarray(ser.hour)[off:off + S, 0]
     viol = np.zeros((t_pad, LANES), np.float32)
     actions = []
     for k, n in (("electrical_storage", B),
@@ -407,17 +486,30 @@ def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
               tile(eb.capacity, V),
               jnp.zeros((D, LANES), jnp.float32))
 
-    out = ev_episode(
-        tuple(actions), series, bparams, curves,
-        jnp.asarray(cparams), ch_curves, jnp.asarray(evparams), ev_curves,
-        ch_bld, wm_bld, state0,
-        n_steps=S, hours_ratio=cfg.seconds_per_time_step / 3600.0,
-        ratio=cfg.time_step_ratio, n_knots=n_knots, ev_knots=ev_knots,
-        ch_knots=ch_knots, ev_weights=tuple(cfg.ev_reward_weights),
-        use_ev_reward=(cfg.reward_type == "Electric_Vehicles_Reward_Function"),
-        viol=jnp.asarray(viol),
-        penalty_coefficient=float(cfg.charging_penalty_coefficient),
-        record=record_series, interpret=interpret)
+    from citylearn_tpu.ops.pallas_ev import N_EREC
+
+    shared = (tuple(actions), series, bparams, curves, jnp.asarray(cparams),
+              ch_curves, jnp.asarray(evparams), ev_curves, ch_bld, wm_bld,
+              jnp.asarray(viol))
+
+    def launch(shared, state0):
+        (acts, ser2, bp, cv, cp, chc, evp2, evc, chb, wmb, vl) = shared
+        return ev_episode(
+            acts, ser2, bp, cv, cp, chc, evp2, evc, chb, wmb, state0,
+            n_steps=S, hours_ratio=cfg.seconds_per_time_step / 3600.0,
+            ratio=cfg.time_step_ratio, n_knots=n_knots, ev_knots=ev_knots,
+            ch_knots=ch_knots, ev_weights=tuple(cfg.ev_reward_weights),
+            use_ev_reward=(cfg.reward_type
+                           == "Electric_Vehicles_Reward_Function"),
+            viol=vl,
+            penalty_coefficient=float(cfg.charging_penalty_coefficient),
+            record=record_series, interpret=interpret)
+
+    if mesh is None:
+        out = launch(shared, state0)
+    else:
+        out = _shard_launch(mesh, launch, shared, state0, 10,
+                            record_series, N_EREC)
     slices = (B, B, B, B, B, B, V, V, V, max(W, 1))
     sliced = tuple(o[:, :n] for o, n in zip(out, slices))
     if record_series:
@@ -499,7 +591,9 @@ def run_lstm_episode(cfg: StaticConfig, params: DistrictParams,
                      n_districts: int, action_tables: dict,
                      n_steps: Optional[int] = None,
                      interpret: bool = False,
-                     record_series: bool = False):
+                     record_series: bool = False,
+                     data_offset: int = 0,
+                     mesh=None):
     """Whole-episode rollout on the LSTM-dynamics kernel
     (:func:`citylearn_tpu.ops.pallas_lstm.lstm_episode`) for
     ``n_districts`` identical district copies under open-loop plans
@@ -522,7 +616,9 @@ def run_lstm_episode(cfg: StaticConfig, params: DistrictParams,
     assert lstm_packable(cfg, params), \
         "configuration not eligible for the LSTM fast path"
     S = (cfg.time_steps - 1) if n_steps is None else n_steps
-    assert n_districts % TILE_D_L == 0
+    n_shards = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+    assert n_districts % (TILE_D_L * n_shards) == 0
+    off = int(data_offset)
     B = cfg.n_buildings
     units, x_off, h_off, _, _ = _lstm_units(cfg, params)
     lookback = units[0]["lookback"]
@@ -531,19 +627,21 @@ def run_lstm_episode(cfg: StaticConfig, params: DistrictParams,
     t_pad = ((S + T_CHUNK_L - 1) // T_CHUNK_L) * T_CHUNK_L
 
     def stream(arr, fill=0.0):
-        a = _pad_b(np.asarray(arr, np.float32), fill)
+        # sim-range series: episode window [off, off + S)
+        a = _pad_b(np.asarray(arr, np.float32)[off:off + t_pad], fill)
         out = np.full((t_pad, L_LANES), fill, np.float32)
-        n = min(a.shape[0], t_pad)
-        out[:n] = a[:n]
+        out[:a.shape[0]] = a
         return jnp.asarray(out)
 
     band_cfg = cfg.reward_band
     band_src = (np.full((S, B), band_cfg, np.float32) if band_cfg is not None
-                else np.asarray(ser.comfort_band)[:S])
+                else np.asarray(ser.comfort_band)[off:off + S])
     # static channels -> (T, sum F) per-building channel-lane layout,
-    # dynamic (cooling-demand / temperature) lanes zeroed
+    # dynamic (cooling-demand / temperature) lanes zeroed; tau-indexed
+    # like the scan path (core/step.py:542)
     schan = np.zeros((t_pad, L_LANES), np.float32)
-    scs = [np.asarray(d.static_channels)[:S] for d in params.dynamics]
+    scs = [np.asarray(d.static_channels)[off:off + S]
+           for d in params.dynamics]
     for b, u in enumerate(units):
         xo, F = x_off[b], u["F"]
         schan[:S, xo:xo + F] = scs[u["g"]][:, u["row"], :]
@@ -564,7 +662,7 @@ def run_lstm_episode(cfg: StaticConfig, params: DistrictParams,
         stream(ser.power_outage),
     )
 
-    hours = np.asarray(ser.hour)[:S, 0]
+    hours = np.asarray(ser.hour)[off:off + S, 0]
     actions = []
     for k in ("cooling_device", "cooling_storage", "dhw_storage",
               "electrical_storage"):
@@ -661,21 +759,34 @@ def run_lstm_episode(cfg: StaticConfig, params: DistrictParams,
         ptc[b, xo + tc] = 1.0
         tmask[0, xo + tc] = 1.0
 
+    from citylearn_tpu.ops.pallas_lstm import N_LREC
+
     D = n_districts
     tile = lambda v: jnp.asarray(
         np.broadcast_to(_pad_b(np.asarray(v))[None, :], (D, L_LANES)).copy())
-    out = lstm_episode(
-        tuple(actions), series, bparams, curves, tparams,
-        jnp.asarray(lrows), jnp.asarray(W[0]), jnp.asarray(W[1]),
-        jnp.asarray(bias_rows), jnp.asarray(linw), jnp.asarray(pcc),
-        jnp.asarray(ptc), jnp.asarray(tmask),
-        tile(ct.initial_soc), tile(dt.initial_soc),
-        tile(bat.initial_soc), tile(bat.efficiency), tile(bat.capacity),
-        n_steps=S, hours_ratio=cfg.seconds_per_time_step / 3600.0,
-        ratio=cfg.time_step_ratio, n_knots=n_knots, lookback=int(lookback),
-        lo_exp=float(cfg.reward_lower_exponent),
-        hi_exp=float(cfg.reward_higher_exponent),
-        record=record_series, interpret=interpret)
+    shared = (tuple(actions), series, bparams, curves, tparams,
+              jnp.asarray(lrows), jnp.asarray(W[0]), jnp.asarray(W[1]),
+              jnp.asarray(bias_rows), jnp.asarray(linw), jnp.asarray(pcc),
+              jnp.asarray(ptc), jnp.asarray(tmask))
+    state_args = (tile(ct.initial_soc), tile(dt.initial_soc),
+                  tile(bat.initial_soc), tile(bat.efficiency),
+                  tile(bat.capacity))
+
+    def launch(shared, state):
+        return lstm_episode(
+            *shared, *state,
+            n_steps=S, hours_ratio=cfg.seconds_per_time_step / 3600.0,
+            ratio=cfg.time_step_ratio, n_knots=n_knots,
+            lookback=int(lookback),
+            lo_exp=float(cfg.reward_lower_exponent),
+            hi_exp=float(cfg.reward_higher_exponent),
+            record=record_series, interpret=interpret)
+
+    if mesh is None:
+        out = launch(shared, state_args)
+    else:
+        out = _shard_launch(mesh, launch, shared, state_args, 9,
+                            record_series, N_LREC)
     sliced = tuple(o[:, :B] for o in out[:9])
     if record_series:
         sliced = sliced + (out[9][:, :S, :B],)
@@ -686,7 +797,9 @@ def run_thermal_episode(cfg: StaticConfig, params: DistrictParams,
                         n_districts: int, action_tables: dict,
                         n_steps: Optional[int] = None,
                         interpret: bool = False,
-                        record_series: bool = False):
+                        record_series: bool = False,
+                        data_offset: int = 0,
+                        mesh=None):
     """Whole-episode rollout on the thermal kernel
     (:func:`citylearn_tpu.ops.pallas_thermal.thermal_episode`) for
     ``n_districts`` identical district copies under open-loop action
@@ -708,7 +821,9 @@ def run_thermal_episode(cfg: StaticConfig, params: DistrictParams,
 
     assert eligible_thermal(cfg), "configuration not eligible for the thermal fast path"
     S = (cfg.time_steps - 1) if n_steps is None else n_steps
-    assert n_districts % TILE_D_TH == 0
+    n_shards = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+    assert n_districts % (TILE_D_TH * n_shards) == 0
+    off = int(data_offset)
     B = params.battery.capacity.shape[0]
     assert B <= B_PAD
 
@@ -718,9 +833,9 @@ def run_thermal_episode(cfg: StaticConfig, params: DistrictParams,
         ser.carbon_intensity, ser.cooling_demand, ser.dhw_demand,
         ser.outdoor_dry_bulb_temperature)]
     t_pad = ((S + T_CHUNK_TH - 1) // T_CHUNK_TH) * T_CHUNK_TH
-    series = tuple(jnp.asarray(_pad_time(x, t_pad)) for x in series_np)
+    series = tuple(jnp.asarray(_pad_time(x, t_pad, off)) for x in series_np)
 
-    hours = np.asarray(ser.hour)[:S, 0]
+    hours = np.asarray(ser.hour)[off:off + S, 0]
     actions = []
     for k in ("cooling_storage", "dhw_storage", "electrical_storage"):
         col = np.zeros((t_pad, B_PAD), np.float32)
@@ -779,16 +894,28 @@ def run_thermal_episode(cfg: StaticConfig, params: DistrictParams,
     assert len(rows) == N_TROWS
     tparams = jnp.asarray(np.stack(rows))
 
+    from citylearn_tpu.ops.pallas_thermal import N_TREC
+
     D = n_districts
     tile = lambda v: jnp.asarray(
         np.broadcast_to(_pad_b(np.asarray(v))[None, :], (D, B_PAD)).copy())
-    out = thermal_episode(
-        tuple(actions), series, bparams, curves, tparams,
-        tile(ct.initial_soc), tile(dt.initial_soc),
-        tile(bat.initial_soc), tile(bat.efficiency), tile(bat.capacity),
-        n_steps=S, hours_ratio=cfg.seconds_per_time_step / 3600.0,
-        ratio=cfg.time_step_ratio, n_knots=n_knots, record=record_series,
-        interpret=interpret)
+    shared = (tuple(actions), series, bparams, curves, tparams)
+    state_args = (tile(ct.initial_soc), tile(dt.initial_soc),
+                  tile(bat.initial_soc), tile(bat.efficiency),
+                  tile(bat.capacity))
+
+    def launch(shared, state):
+        return thermal_episode(
+            *shared, *state,
+            n_steps=S, hours_ratio=cfg.seconds_per_time_step / 3600.0,
+            ratio=cfg.time_step_ratio, n_knots=n_knots,
+            record=record_series, interpret=interpret)
+
+    if mesh is None:
+        out = launch(shared, state_args)
+    else:
+        out = _shard_launch(mesh, launch, shared, state_args, 8,
+                            record_series, N_TREC)
     sliced = tuple(o[:, :B] for o in out[:8])
     if record_series:
         sliced = sliced + (out[8][:, :S, :B],)

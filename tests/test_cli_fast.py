@@ -144,15 +144,35 @@ def test_ev_family_cli_fast(tmp_path):
             rtol=5e-4, atol=5e-3, err_msg=var)
 
 
-def test_fast_rejects_shifted_window(tmp_path):
-    """--fast refuses non-default episode windows instead of silently
-    evaluating the wrong rows."""
-    with pytest.raises(ValueError, match="offset"):
+def test_fast_shifted_window_matches_slow(tmp_path):
+    """--fast on a NON-default episode window (VERDICT r4 #4): the kernel
+    path slides the driver series, hour tables and KPI window to the
+    offset and must agree with the host-stepped slow path on the shifted
+    rows (previously --fast rejected any offset)."""
+    out = str(tmp_path)
+    for sid, fast in (("slow", False), ("fast", True)):
         Simulator.evaluate(
             schema=SCHEMA, agent_name="citylearn.agents.rbc.BasicRBC",
-            evaluation_episode_time_steps=(24, 119),
-            simulation_id="shifted", output_directory=str(tmp_path),
-            fast=True)
+            evaluation_episode_time_steps=(24, 119), simulation_id=sid,
+            output_directory=out, fast=fast)
+    load = lambda sid: json.load(
+        open(os.path.join(out, f"{sid}-evaluation.json")))
+    slow, fast = load("slow"), load("fast")
+    shared = 0
+    for kpi, cols in fast["kpis"].items():
+        for name, v in cols.items():
+            w = slow["kpis"][kpi].get(name)
+            if v is None or w is None:
+                continue
+            shared += 1
+            assert abs(v - w) <= 2e-5 * max(1.0, abs(w)), \
+                f"{kpi}/{name}: fast {v} vs slow {w}"
+    assert shared >= 40
+    b0 = next(iter(fast["time_series"]))
+    for var, vals in fast["time_series"][b0].items():
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(slow["time_series"][b0][var]),
+            rtol=2e-5, atol=2e-5, err_msg=var)
 
 
 def test_fast_rejects_closed_loop_agent(tmp_path):

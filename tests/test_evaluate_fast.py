@@ -95,6 +95,87 @@ def test_thermal_2020_full_table():
     }))
 
 
+def _compare_window(cfg, params, policy, off,
+                    baseline_condition="_without_storage"):
+    states = batched_initial_states(cfg, params, 2, data_offset=off)
+    slow = evaluate_districts(
+        cfg, params, states,
+        policy.as_policy_fn(cfg, params, cfg.time_steps - 1),
+        baseline_condition=baseline_condition)
+    fast = evaluate_scripted(cfg, params, policy,
+                             baseline_condition=baseline_condition,
+                             interpret=True, data_offset=off)
+    # the ScriptedPolicy dispatch must also route offset states to the
+    # kernel (same table broadcast over the batch)
+    via_dispatch = evaluate_districts(cfg, params, states, policy,
+                                      baseline_condition=baseline_condition)
+    assert set(slow) == set(fast)
+    for k in sorted(slow):
+        a = np.asarray(slow[k])[0]
+        b = np.asarray(fast[k])
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5,
+                                   equal_nan=True,
+                                   err_msg=f"KPI mismatch in {k} @ {off}")
+        np.testing.assert_allclose(np.asarray(via_dispatch[k])[0], b,
+                                   rtol=1e-6, atol=1e-6, equal_nan=True)
+
+
+def test_sharded_kernel_evaluate_matches_single_launch():
+    """evaluate_scripted under the dp mesh (VERDICT r4 #2): shard_map
+    over district tiles, one collective-free kernel launch per device,
+    identical table."""
+    from citylearn_tpu.parallel import district_mesh
+
+    cfg, params = _env("citylearn_challenge_2022_phase_1", 168)
+    mesh = district_mesh()                 # conftest forces 8 CPU devices
+    policy = ScriptedPolicy({"electrical_storage": BAT_TABLE})
+    rollout_fast.HLO_CAPTURE = []
+    try:
+        sharded = evaluate_scripted(cfg, params, policy, interpret=True,
+                                    mesh=mesh)
+        hlo = "".join(rollout_fast.HLO_CAPTURE)
+    finally:
+        rollout_fast.HLO_CAPTURE = None
+    single = evaluate_scripted(cfg, params, policy, interpret=True)
+    import re
+    assert not re.findall(
+        r"\b(all-reduce|all-gather|reduce-scatter|collective-permute"
+        r"|all-to-all)\b", hlo), "sharded kernel launch emits collectives"
+    for k in single:
+        np.testing.assert_allclose(np.asarray(sharded[k]),
+                                   np.asarray(single[k]), rtol=1e-6,
+                                   atol=1e-6, equal_nan=True, err_msg=k)
+
+
+def test_kernel_windows_rolling_and_random_split():
+    """Episode-window support on the kernel paths (VERDICT r4 #4): the
+    kernel-backed evaluate on a ROLLING-split and a RANDOM-split episode
+    window must equal the scan evaluator on the same window (previously
+    the kernels were pinned to offset 0)."""
+    from citylearn_tpu.envs.episode import EpisodeTracker
+
+    cfg, params = _env("citylearn_challenge_2022_phase_1", 168)
+    tracker = EpisodeTracker(0, 8759)
+    tracker.next_episode(168, True, False, 0)
+    tracker.next_episode(168, True, False, 0)      # rolling split, ep 2
+    off_roll = tracker.episode_start_time_step
+    tracker2 = EpisodeTracker(0, 8759)
+    tracker2.next_episode(168, False, True, 7)     # random split, ep 1
+    off_rand = tracker2.episode_start_time_step
+    assert off_rand > 0
+    policy = ScriptedPolicy({"electrical_storage": BAT_TABLE})
+    for off in (off_roll, off_rand):
+        _compare_window(cfg, params, policy, off)
+
+
+def test_kernel_window_thermal():
+    """Shifted windows on the thermal kernel (the 2021 4-year range has
+    real seasonal variation across windows)."""
+    cfg, params = _env("citylearn_challenge_2021", 168)
+    _compare_window(cfg, params, ScriptedPolicy(dict(THERMAL_TABLES)),
+                    off=4000)
+
+
 def test_thermal_2021_central_full_table():
     """BASELINE config 3 — the CENTRALIZED 2021 district — rides the
     thermal kernel (VERDICT r4 #5): central agency changes reward
