@@ -366,6 +366,35 @@ class Simulator:
                     "energy_to_electrical_storage":
                         fin(np.maximum(bal, 0.0)),
                 }
+            elif family == "neighborhood":
+                from citylearn_tpu.ops.pallas_neighborhood import (
+                    R_BBAL as NBAL, R_BSOC as NBSOC, R_CDEM as NCDEM,
+                    R_COUT as NCOUT, R_DOUT as NDOUT, R_DSOC as NDSOC,
+                    R_HDEM as NHDEM, R_HOUT as NHOUT, R_NET as NNET)
+                bal = rec[NBAL, :, i]
+                # the demand/demand-met histories' final unwritten row
+                # reads the DATA demand (envs/environment._sync_unwritten_row)
+                data_end = lambda arr: np.asarray(
+                    arr, np.float64)[offset + S:offset + S + 1, i]
+                fin_d = lambda col, arr: np.concatenate(
+                    [col, data_end(arr)]).tolist()
+                cols = {
+                    "net_electricity_consumption": fin(rec[NNET, :, i]),
+                    "electrical_storage_electricity_consumption":
+                        fin(np.concatenate([[2 * bal[0]], bal[1:]])),
+                    "electrical_storage_soc": fin(rec[NBSOC, :, i]),
+                    "dhw_storage_soc": fin(rec[NDSOC, :, i]),
+                    "energy_from_cooling_device":
+                        fin_d(rec[NCOUT, :, i], ser.cooling_demand),
+                    "energy_from_heating_device":
+                        fin_d(rec[NHOUT, :, i], ser.heating_demand),
+                    "energy_from_dhw_device":
+                        fin_d(rec[NDOUT, :, i], ser.dhw_demand),
+                    "cooling_demand":
+                        fin_d(rec[NCDEM, :, i], ser.cooling_demand),
+                    "heating_demand":
+                        fin_d(rec[NHDEM, :, i], ser.heating_demand),
+                }
             else:
                 # the thermal and LSTM kernels share the first nine
                 # record-row indices (net, balances, SOCs, outputs)

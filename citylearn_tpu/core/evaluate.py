@@ -303,6 +303,9 @@ def evaluate_districts(cfg: StaticConfig, params: DistrictParams,
         family = kernel_family(cfg)
         if family == "lstm" and not rollout_fast.lstm_packable(cfg, params):
             family = None
+        if family == "neighborhood" \
+                and not rollout_fast.neighborhood_packable(cfg, params):
+            family = None
         if off0 and cfg.has_stochastic_outage:
             family = None           # needs a caller-rebaked signal; scan
         if family is not None and fresh:

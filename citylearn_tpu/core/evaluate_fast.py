@@ -187,6 +187,8 @@ def kernel_family(cfg: StaticConfig) -> Optional[str]:
         return "lstm"
     if rollout_fast.eligible_ev(cfg):
         return "ev"
+    if rollout_fast.eligible_neighborhood(cfg):
+        return "neighborhood"
     return None
 
 
@@ -298,6 +300,50 @@ def _assembler(cfg: StaticConfig, family: str, S: int,
     return jax.jit(run)
 
 
+def _assembler_neighborhood(cfg: StaticConfig, S: int,
+                            baseline_condition: str) -> Callable:
+    """Neighborhood-family KPI assembly: the kernel records the physics
+    series; the temperature/setpoint series and final occupant state come
+    from the single-district post-pass
+    (:func:`citylearn_tpu.core.neighborhood_eval.temp_setpoint_series`)."""
+    from citylearn_tpu.core.evaluate import kpi_table
+    from citylearn_tpu.ops.pallas_neighborhood import (
+        R_BBAL, R_CDEM, R_COUT, R_DOUT, R_HDEM, R_HOUT, R_NET)
+
+    def run(params: DistrictParams, rec: jnp.ndarray, start_tau,
+            temp, csp, hsp, final_state):
+        ser = params.series
+        w = lambda arr: jax.lax.dynamic_slice_in_dim(arr, start_tau, S,
+                                                     axis=0)
+        net = rec[R_NET]
+        # all tanks are inert on this family (neighborhood_packable) —
+        # storage consumption is the battery alone (building.py:345-366)
+        storage = _with_t0_double(rec[R_BBAL])
+        served = (rec[R_COUT] + rec[R_HOUT] + rec[R_DOUT]
+                  + w(ser.non_shiftable_load))
+        pricing = w(ser.electricity_pricing)
+        carbon = w(ser.carbon_intensity)
+        collected = dict(
+            net=net,
+            cost=net * pricing,
+            emission=jnp.clip(net * carbon, 0.0, None),
+            storage=storage,
+            solar=-w(ser.solar_generation),
+            pricing=pricing,
+            carbon=carbon,
+            indoor_t=temp,
+            cooling_sp=csp,
+            heating_sp=hsp,
+            cooling_demand_actual=rec[R_CDEM],
+            heating_demand_actual=rec[R_HDEM],
+            served=served,
+        )
+        return kpi_table(cfg, params, collected, start_tau,
+                         baseline_condition, final_state=final_state)
+
+    return jax.jit(run)
+
+
 _ASSEMBLER_CACHE: Dict[Tuple, Callable] = {}
 
 
@@ -370,6 +416,34 @@ def evaluate_scripted(cfg: StaticConfig, params: DistrictParams,
             cfg, params, D, plans, n_steps=S, interpret=interpret,
             record_series=True, data_offset=off, mesh=mesh)
         rec = out[-1]
+    elif family == "neighborhood":
+        if not rollout_fast.neighborhood_packable(cfg, params):
+            raise ValueError("configuration not neighborhood-packable; "
+                             "use evaluate_districts (XLA scan) instead")
+        from citylearn_tpu.core.neighborhood_eval import temp_setpoint_series
+        from citylearn_tpu.ops.pallas_neighborhood import (
+            R_COUT as N_RCOUT,
+            R_HOUT as N_RHOUT,
+            TILE_D as TILE_D_N,
+        )
+        D = n_districts or TILE_D_N * n_shards
+        out = rollout_fast.run_neighborhood_episode(
+            cfg, params, D, plans, n_steps=S, interpret=interpret,
+            record_series=True, data_offset=off, mesh=mesh)
+        rec = out[-1]
+        # single-district temperature/occupant post-pass: tanks are inert
+        # so the demand observations are the device outputs alone
+        temp, csp, hsp, final_state = temp_setpoint_series(
+            cfg, params, rec[N_RCOUT], rec[N_RHOUT], S, data_offset=off)
+        key = (cfg, family, S, baseline_condition)
+        if key not in _ASSEMBLER_CACHE:
+            _ASSEMBLER_CACHE[key] = _assembler_neighborhood(
+                cfg, S, baseline_condition)
+        table = _ASSEMBLER_CACHE[key](params, rec, jnp.int32(off),
+                                      temp, csp, hsp, final_state)
+        if return_series:
+            return table, rec
+        return table
     else:
         from citylearn_tpu.ops.pallas_thermal import TILE_D as TILE_D_TH
         D = n_districts or TILE_D_TH * n_shards

@@ -2,10 +2,14 @@
 whole-episode Pallas kernels — ``ops/pallas_battery`` (battery+PV 2022
 family), ``ops/pallas_thermal`` (thermal 2021 family), ``ops/pallas_lstm``
 (LSTM-dynamics 2023 family), ``ops/pallas_ev`` (EV/charger/washing-machine
-plus_evs family) — falling back to the general XLA scan otherwise. All
-kernels take per-target (T, lane) open-loop action streams and support
-per-step series recording for the kernel-backed KPI evaluation
-(:mod:`citylearn_tpu.core.evaluate_fast`)."""
+plus_evs family), ``ops/pallas_neighborhood`` (EULP county neighborhoods
++ quebec occupant family) — together covering all 25 bundled datasets —
+falling back to the general XLA scan otherwise. All kernels take
+per-target (T, lane) open-loop action streams, support per-step series
+recording for the kernel-backed KPI evaluation
+(:mod:`citylearn_tpu.core.evaluate_fast`), shifted episode windows
+(``data_offset``) and dp-mesh sharding (``mesh`` via
+:func:`_shard_launch`)."""
 
 from __future__ import annotations
 
@@ -919,4 +923,191 @@ def run_thermal_episode(cfg: StaticConfig, params: DistrictParams,
     sliced = tuple(o[:, :B] for o in out[:8])
     if record_series:
         sliced = sliced + (out[8][:, :S, :B],)
+    return sliced
+
+
+def eligible_neighborhood(cfg: StaticConfig) -> bool:
+    """LSTM-dynamics districts NOT servable by the single-tile LSTM
+    kernel — the EULP neighborhoods (47-100 heterogeneous buildings,
+    signed cooling_or_heating partial load, default reward) and the
+    quebec occupant family (heating-side partial load, ComfortReward,
+    occupant interaction). The kernel runs the O(D) physics; the O(1)
+    temperature/occupant sequence runs in the single-district post-pass
+    (core/neighborhood_eval.py). Data-level conditions (all tanks inert,
+    shared lookback, full dynamics coverage, B <= 128) are checked by
+    :func:`neighborhood_packable`."""
+    return (cfg.has_dynamics and len(cfg.dyn_groups) >= 1
+            and not cfg.has_evs and not cfg.has_washing_machines
+            and not cfg.any_outage and not cfg.has_charging_constraints
+            and cfg.reward_per_building is None
+            and (cfg.reward_type == "ComfortReward"
+                 or (cfg.reward_type in _REWARD_OK
+                     and cfg.reward_exponent == 1.0)))
+
+
+def neighborhood_packable(cfg: StaticConfig, params: DistrictParams) -> bool:
+    """Data-level eligibility for the neighborhood kernel: every building
+    dynamics-covered with one shared lookback, <= 128 buildings, and
+    every cooling/heating tank capacity zero — which (via the reference's
+    dhw-conversion-through-heating-capacity quirk, ``building.py:1765``)
+    makes ALL storage tanks inert, the precondition for the kernel's
+    device-only thermal dispatch."""
+    if not eligible_neighborhood(cfg):
+        return False
+    if eligible_lstm(cfg) and lstm_packable(cfg, params):
+        return False                 # the single-tile LSTM kernel serves it
+    B = cfg.n_buildings
+    if B > B_PAD:
+        return False
+    covered = np.concatenate([np.asarray(d.member_indices)
+                              for d in params.dynamics])
+    if not np.array_equal(np.sort(covered), np.arange(B)):
+        return False
+    if len({int(meta[0]) for meta in cfg.dyn_groups}) != 1:
+        return False
+    if float(np.asarray(params.cooling_storage.capacity).max()) > 0.0:
+        return False
+    if float(np.asarray(params.heating_storage.capacity).max()) > 0.0:
+        return False
+    return True
+
+
+def run_neighborhood_episode(cfg: StaticConfig, params: DistrictParams,
+                             n_districts: int, action_tables: dict,
+                             n_steps: Optional[int] = None,
+                             interpret: bool = False,
+                             record_series: bool = False,
+                             data_offset: int = 0,
+                             mesh=None):
+    """Whole-episode rollout on the neighborhood kernel
+    (:func:`citylearn_tpu.ops.pallas_neighborhood.neighborhood_episode`)
+    for ``n_districts`` identical district copies under open-loop plans
+    ``{action_name: (24,) hour table | (S,) | (S, B)}`` over
+    cooling_or_heating_device / cooling_device / heating_device /
+    electrical_storage (dhw_storage plans are accepted but inert — the
+    reference's conversion quirk, see :func:`neighborhood_packable`).
+
+    Returns (reward_sum, cost_sum, emission_sum, dhw_soc, bat_soc,
+    bat_eff, bat_degraded), each (D, B); with ``record_series=True`` an
+    (N_NREC, S, B) per-step stream of district 0 is appended. The
+    reward_sum output is the default exponent-1 reward; quebec's
+    temperature-dependent ComfortReward is assembled by the evaluation
+    layer from the post-pass (the KPI surface never reads rewards)."""
+    from citylearn_tpu.ops.pallas_neighborhood import (
+        LANES as N_LANES,
+        N_NREC,
+        N_NROWS,
+        T_CHUNK as T_CHUNK_N,
+        TILE_D as TILE_D_N,
+        neighborhood_episode,
+    )
+
+    assert neighborhood_packable(cfg, params), \
+        "configuration not eligible for the neighborhood fast path"
+    S = (cfg.time_steps - 1) if n_steps is None else n_steps
+    n_shards = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+    assert n_districts % (TILE_D_N * n_shards) == 0
+    off = int(data_offset)
+    B = cfg.n_buildings
+    lookback = int(cfg.dyn_groups[0][0])
+
+    ser = params.series
+    t_pad = ((S + T_CHUNK_N - 1) // T_CHUNK_N) * T_CHUNK_N
+
+    def stream(arr, fill=0.0):
+        a = _pad_b(np.asarray(arr, np.float32)[off:off + t_pad], fill)
+        out = np.full((t_pad, N_LANES), fill, np.float32)
+        out[:a.shape[0]] = a
+        return jnp.asarray(out)
+
+    series = (
+        stream(ser.non_shiftable_load), stream(ser.solar_generation),
+        stream(ser.electricity_pricing), stream(ser.carbon_intensity),
+        stream(ser.cooling_demand), stream(ser.heating_demand),
+        stream(ser.dhw_demand), stream(ser.outdoor_dry_bulb_temperature),
+        stream(np.asarray(ser.hvac_mode, np.float32)),
+    )
+
+    hours = np.asarray(ser.hour)[off:off + S, 0]
+    actions = []
+    for k in ("cooling_or_heating_device", "cooling_device",
+              "heating_device", "electrical_storage"):
+        col = np.zeros((t_pad, N_LANES), np.float32)
+        tbl = action_tables.get(k)
+        if tbl is not None:
+            col[:S, :B] = expand_action_plan(tbl, hours, S, B)
+        actions.append(jnp.asarray(col))
+
+    bat = params.battery
+    bparams = jnp.asarray(np.stack([_pad_b(x) for x in (
+        bat.capacity, bat.nominal_power, bat.loss_coefficient,
+        bat.initial_soc, bat.depth_of_discharge, bat.capacity_loss_coefficient,
+        np.zeros(B), np.zeros(B))]))
+    _, _, k1 = _pad_curves_rows(bat.power_efficiency_curve_x,
+                                bat.power_efficiency_curve_y, B)
+    _, _, k2 = _pad_curves_rows(bat.capacity_power_curve_x,
+                                bat.capacity_power_curve_y, B)
+    n_knots = max(k1, k2)
+    pcx, pcy, _ = _pad_curves_rows(bat.power_efficiency_curve_x,
+                                   bat.power_efficiency_curve_y, B, n_knots)
+    ccx, ccy, _ = _pad_curves_rows(bat.capacity_power_curve_x,
+                                   bat.capacity_power_curve_y, B, n_knots)
+    curves = (pcx, pcy, ccx, ccy)
+
+    # partial-load action availability per building (union over groups)
+    cool_act = np.zeros(B, np.float32)
+    heat_act = np.zeros(B, np.float32)
+    coh_act = np.zeros(B, np.float32)
+    for dyn in params.dynamics:
+        m = np.asarray(dyn.member_indices)
+        cool_act[m] = np.maximum(cool_act[m],
+                                 np.asarray(dyn.cooling_device_active,
+                                            np.float32))
+        heat_act[m] = np.maximum(heat_act[m],
+                                 np.asarray(dyn.heating_device_active,
+                                            np.float32))
+        coh_act[m] = np.maximum(coh_act[m],
+                                np.asarray(dyn.cooling_or_heating_active,
+                                           np.float32))
+
+    cd, hd, dd = params.cooling_device, params.heating_device, params.dhw_device
+    dt = params.dhw_storage
+    rows = [
+        _pad_b(cd.nominal_power), _pad_b(cd.efficiency, 1.0),
+        _pad_b(cd.target_cooling_temperature),
+        _pad_b(np.asarray(cd.is_heat_pump, np.float32)),
+        _pad_b(hd.nominal_power), _pad_b(hd.efficiency, 1.0),
+        _pad_b(hd.target_heating_temperature),
+        _pad_b(np.asarray(hd.is_heat_pump, np.float32)),
+        _pad_b(dd.nominal_power), _pad_b(dd.efficiency, 1.0),
+        _pad_b(dd.target_heating_temperature),
+        _pad_b(np.asarray(dd.is_heat_pump, np.float32)),
+        _pad_b(dt.capacity), _pad_b(dt.loss_coefficient),
+        _pad_b(cool_act), _pad_b(heat_act), _pad_b(coh_act),
+    ]
+    assert len(rows) == N_NROWS
+    nparams = jnp.asarray(np.stack(rows))
+
+    D = n_districts
+    tile = lambda v: jnp.asarray(
+        np.broadcast_to(_pad_b(np.asarray(v))[None, :], (D, N_LANES)).copy())
+    shared = (tuple(actions), series, bparams, curves, nparams)
+    state_args = (tile(dt.initial_soc), tile(bat.initial_soc),
+                  tile(bat.efficiency), tile(bat.capacity))
+
+    def launch(shared, state):
+        return neighborhood_episode(
+            *shared, *state,
+            n_steps=S, hours_ratio=cfg.seconds_per_time_step / 3600.0,
+            ratio=cfg.time_step_ratio, n_knots=n_knots, lookback=lookback,
+            record=record_series, interpret=interpret)
+
+    if mesh is None:
+        out = launch(shared, state_args)
+    else:
+        out = _shard_launch(mesh, launch, shared, state_args, 7,
+                            record_series, N_NREC)
+    sliced = tuple(o[:, :B] for o in out[:7])
+    if record_series:
+        sliced = sliced + (out[7][:, :S, :B],)
     return sliced

@@ -164,6 +164,144 @@ def _thermal_block(dev, tank, soc_prev, demand, action, outdoor_t, heating: bool
             cons_accum + apply_cons)
 
 
+def dynamics_update(cfg: StaticConfig, params: DistrictParams, tau, t,
+                    cooling_demand_obs, heating_demand_obs, temp_ideal,
+                    lstm_h_in, lstm_c_in, dyn_input_in):
+    """LSTM temperature dynamics for one step (building.py:2935-3078):
+    channel updates, the one-step-older temperature-channel quirk,
+    warm-gated hidden-state carry. Shared by :func:`district_step` and
+    the neighborhood-family single-district post-pass
+    (:mod:`citylearn_tpu.core.neighborhood_eval`).
+
+    Returns ``(temp_t, lstm_h, lstm_c, dyn_input)``."""
+    temp_t = temp_ideal
+    lstm_h = list(lstm_h_in)
+    lstm_c = list(lstm_c_in)
+    dyn_input = list(dyn_input_in)
+    for g, (meta, dyn) in enumerate(zip(cfg.dyn_groups, params.dynamics)):
+        lookback, L, H, F, tc, cc, hc = meta
+        m = dyn.member_indices
+        norm = lambda v, ch: ((v - dyn.norm_min[:, ch])
+                              / (dyn.norm_max[:, ch] - dyn.norm_min[:, ch]))
+        vals = jnp.take(dyn.static_channels, tau, axis=0)   # (Bg, F) pre-normalized
+        if cc >= 0:
+            vals = vals.at[:, cc].set(norm(cooling_demand_obs[m], cc))
+        if hc >= 0:
+            vals = vals.at[:, hc].set(norm(heating_demand_obs[m], hc))
+        vals = vals.at[:, tc].set(norm(temp_ideal[m], tc))
+        buf = jnp.concatenate([dyn_input[g][:, :, 1:], vals[:, :, None]], axis=2)
+
+        predict_warm = t >= lookback
+        # model input (building.py:3039-3055): all channels use the last
+        # `lookback` entries except indoor temperature which uses the
+        # first `lookback` (one step older)
+        main = buf[:, :, 1:]
+        model_in = main.at[:, tc, :].set(buf[:, tc, :-1])
+        model_in = jnp.swapaxes(model_in, 1, 2)             # (Bg, lookback, F)
+        pred_norm, h_new, c_new = lstm_predict(dyn, model_in, lstm_h[g], lstm_c[g])
+        buf = buf.at[:, tc, -1].set(
+            jnp.where(predict_warm, pred_norm, buf[:, tc, -1]))
+        pred_temp = pred_norm * (dyn.norm_max[:, tc] - dyn.norm_min[:, tc]) \
+            + dyn.norm_min[:, tc]
+        temp_t = temp_t.at[m].set(
+            jnp.where(predict_warm, pred_temp, temp_ideal[m]))
+        lstm_h[g] = jnp.where(predict_warm, h_new, lstm_h[g])
+        lstm_c[g] = jnp.where(predict_warm, c_new, lstm_c[g])
+        dyn_input[g] = buf
+    return temp_t, tuple(lstm_h), tuple(lstm_c), tuple(dyn_input)
+
+
+def occupant_update(cfg: StaticConfig, params: DistrictParams, series,
+                    state, csp_data, hsp_data, hvac_mode, temp_t, t, is_t0,
+                    r32):
+    """Occupant thermostat interaction for one step (building.py:3160-3353,
+    occupant.py:62-99): logistic interaction probability on the
+    just-predicted temperature + decision-tree setpoint delta, with
+    future-setpoint mutation, hold counter and reversion. Setpoint
+    mutations are carried as NaN-coded overrides; the reference mutates
+    the series from index t onward, so the effective setpoint is
+    override-if-active else data. ``state`` needs the ``occ_*`` fields
+    and ``data_offset``. Shared by :func:`district_step` and the
+    neighborhood-family post-pass.
+
+    Returns ``(csp_eff, hsp_eff, occ_state_dict)``."""
+    occ = params.occupant
+    csp_eff = jnp.where(jnp.isfinite(state.occ_csp_override),
+                        state.occ_csp_override, csp_data)
+    hsp_eff = jnp.where(jnp.isfinite(state.occ_hsp_override),
+                        state.occ_hsp_override, hsp_data)
+    # at t == 0 the reference reads index -1 — numpy wraps to the
+    # episode's final row (building.py:3276-3285 with time_step 0)
+    end_idx = state.data_offset + cfg.time_steps - 1
+    at_end = lambda arr: jnp.take(arr, end_idx, axis=0)
+    prev_temp = jnp.where(is_t0, at_end(series.indoor_dry_bulb_temperature),
+                          state.occ_prev_temp)
+    prev_csp = jnp.where(
+        is_t0, at_end(series.indoor_dry_bulb_temperature_cooling_set_point),
+        state.occ_prev_csp)
+    prev_hsp = jnp.where(
+        is_t0, at_end(series.indoor_dry_bulb_temperature_heating_set_point),
+        state.occ_prev_hsp)
+
+    heating_mode = hvac_mode == 2
+    current_sp = jnp.where(heating_mode, hsp_eff, csp_eff)
+    prev_sp = jnp.where(heating_mode, prev_hsp, prev_csp)
+
+    att = lambda arr: jnp.take(arr, t, axis=0)
+    sig = lambda a, b_: 1.0 / (1.0 + jnp.exp(-(a + b_ * temp_t)))
+    p_inc = sig(att(occ.a_increase), att(occ.b_increase))
+    p_dec = sig(att(occ.a_decrease), att(occ.b_decrease))
+    rp = jnp.take(occ.random_probability, t)
+
+    feats = jnp.stack([current_sp, prev_sp, prev_temp - prev_sp], axis=1)
+
+    def tree_delta(k):
+        node = jnp.zeros(csp_data.shape, jnp.int32)
+        take_n = lambda arr: jnp.take_along_axis(
+            arr[:, k, :], node[:, None], axis=1)[:, 0]
+        for _ in range(cfg.occupant_tree_depth + 1):
+            f = take_n(occ.tree_feature)
+            thr = take_n(occ.tree_threshold)
+            x = jnp.take_along_axis(feats, jnp.clip(f, 0, 2)[:, None],
+                                    axis=1)[:, 0]
+            left = take_n(occ.tree_children_left)
+            right = take_n(occ.tree_children_right)
+            nxt = jnp.where(x <= thr, left, right)
+            node = jnp.where(f >= 0, nxt, node)
+        return jnp.take_along_axis(occ.tree_delta[:, k, :], node[:, None],
+                                   axis=1)[:, 0]
+
+    inc_fires = (p_inc >= rp) & (p_dec < rp)
+    dec_fires = (p_dec >= rp) & (p_inc < rp)
+    delta = jnp.where(inc_fires, tree_delta(0),
+                      jnp.where(dec_fires, -tree_delta(1), 0.0))
+    warm = t >= occ.lookback     # simulate_dynamics gate (building.py:2996)
+    delta = jnp.where(warm, delta, 0.0)
+
+    trig = jnp.abs(delta) > 0.0
+    new_csp_ov = jnp.where(trig & ~heating_mode, current_sp + delta,
+                           state.occ_csp_override)
+    new_hsp_ov = jnp.where(trig & heating_mode, current_sp + delta,
+                           state.occ_hsp_override)
+    counter = state.occ_hold_counter
+    counter = jnp.where(trig, occ.hold_time_steps,
+                        jnp.where(counter >= 0, counter - 1, counter))
+    revert = counter == 0
+    nan = jnp.full_like(new_csp_ov, jnp.nan)
+    # effective setpoints for this step's reward/series reflect the
+    # fresh mutation; reversion applies from t + 1 (building.py:3310-3317)
+    csp_eff = r32(jnp.where(trig & ~heating_mode, current_sp + delta, csp_eff))
+    hsp_eff = r32(jnp.where(trig & heating_mode, current_sp + delta, hsp_eff))
+    new_csp_ov = r32(jnp.where(revert, nan, new_csp_ov))
+    new_hsp_ov = r32(jnp.where(revert, nan, new_hsp_ov))
+    counter = jnp.where(revert, -1, counter)
+    occ_state = dict(
+        occ_csp_override=new_csp_ov, occ_hsp_override=new_hsp_ov,
+        occ_hold_counter=counter, occ_prev_temp=r32(temp_t),
+        occ_prev_csp=csp_eff, occ_prev_hsp=hsp_eff)
+    return csp_eff, hsp_eff, occ_state
+
+
 def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
                   actions: Dict[str, jnp.ndarray]) -> Tuple[EnvState, StepOutput]:
     """Apply ``actions`` at the current step and return the new state plus
@@ -530,41 +668,9 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     # fresh demand observations (building.py:1435-1437)
     cooling_demand_obs = r32(cool.device_output) + jnp.maximum(-cool.balance, 0.0)
     heating_demand_obs = r32(heat.device_output) + jnp.maximum(-heat.balance, 0.0)
-    temp_t = temp_ideal
-    lstm_h = list(state.lstm_h)
-    lstm_c = list(state.lstm_c)
-    dyn_input = list(state.dyn_input)
-    for g, (meta, dyn) in enumerate(zip(cfg.dyn_groups, params.dynamics)):
-        lookback, L, H, F, tc, cc, hc = meta
-        m = dyn.member_indices
-        norm = lambda v, ch: ((v - dyn.norm_min[:, ch])
-                              / (dyn.norm_max[:, ch] - dyn.norm_min[:, ch]))
-        vals = jnp.take(dyn.static_channels, tau, axis=0)   # (Bg, F) pre-normalized
-        if cc >= 0:
-            vals = vals.at[:, cc].set(norm(cooling_demand_obs[m], cc))
-        if hc >= 0:
-            vals = vals.at[:, hc].set(norm(heating_demand_obs[m], hc))
-        vals = vals.at[:, tc].set(norm(temp_ideal[m], tc))
-        buf = jnp.concatenate([dyn_input[g][:, :, 1:], vals[:, :, None]], axis=2)
-
-        predict_warm = t >= lookback
-        # model input (building.py:3039-3055): all channels use the last
-        # `lookback` entries except indoor temperature which uses the
-        # first `lookback` (one step older)
-        main = buf[:, :, 1:]
-        model_in = main.at[:, tc, :].set(buf[:, tc, :-1])
-        model_in = jnp.swapaxes(model_in, 1, 2)             # (Bg, lookback, F)
-        pred_norm, h_new, c_new = lstm_predict(dyn, model_in, lstm_h[g], lstm_c[g])
-        buf = buf.at[:, tc, -1].set(
-            jnp.where(predict_warm, pred_norm, buf[:, tc, -1]))
-        pred_temp = pred_norm * (dyn.norm_max[:, tc] - dyn.norm_min[:, tc]) \
-            + dyn.norm_min[:, tc]
-        temp_t = temp_t.at[m].set(
-            jnp.where(predict_warm, pred_temp, temp_ideal[m]))
-        lstm_h[g] = jnp.where(predict_warm, h_new, lstm_h[g])
-        lstm_c[g] = jnp.where(predict_warm, c_new, lstm_c[g])
-        dyn_input[g] = buf
-    lstm_h, lstm_c, dyn_input = tuple(lstm_h), tuple(lstm_c), tuple(dyn_input)
+    temp_t, lstm_h, lstm_c, dyn_input = dynamics_update(
+        cfg, params, tau, t, cooling_demand_obs, heating_demand_obs,
+        temp_ideal, state.lstm_h, state.lstm_c, state.dyn_input)
 
     # ---- occupant thermostat interaction (building.py:3160-3353,
     # occupant.py:62-99): logistic interaction probability on the
@@ -578,80 +684,9 @@ def district_step(cfg: StaticConfig, params: DistrictParams, state: EnvState,
     csp_eff, hsp_eff = csp_data, hsp_data
     occ_state = {}
     if cfg.has_occupant:
-        occ = params.occupant
-        csp_eff = jnp.where(jnp.isfinite(state.occ_csp_override),
-                            state.occ_csp_override, csp_data)
-        hsp_eff = jnp.where(jnp.isfinite(state.occ_hsp_override),
-                            state.occ_hsp_override, hsp_data)
-        # at t == 0 the reference reads index -1 — numpy wraps to the
-        # episode's final row (building.py:3276-3285 with time_step 0)
-        end_idx = state.data_offset + cfg.time_steps - 1
-        at_end = lambda arr: jnp.take(arr, end_idx, axis=0)
-        prev_temp = jnp.where(is_t0, at_end(series.indoor_dry_bulb_temperature),
-                              state.occ_prev_temp)
-        prev_csp = jnp.where(
-            is_t0, at_end(series.indoor_dry_bulb_temperature_cooling_set_point),
-            state.occ_prev_csp)
-        prev_hsp = jnp.where(
-            is_t0, at_end(series.indoor_dry_bulb_temperature_heating_set_point),
-            state.occ_prev_hsp)
-
-        heating_mode = hvac_mode == 2
-        current_sp = jnp.where(heating_mode, hsp_eff, csp_eff)
-        prev_sp = jnp.where(heating_mode, prev_hsp, prev_csp)
-
-        att = lambda arr: jnp.take(arr, t, axis=0)
-        sig = lambda a, b_: 1.0 / (1.0 + jnp.exp(-(a + b_ * temp_t)))
-        p_inc = sig(att(occ.a_increase), att(occ.b_increase))
-        p_dec = sig(att(occ.a_decrease), att(occ.b_decrease))
-        rp = jnp.take(occ.random_probability, t)
-
-        feats = jnp.stack([current_sp, prev_sp, prev_temp - prev_sp], axis=1)
-
-        def tree_delta(k):
-            node = jnp.zeros(csp_data.shape, jnp.int32)
-            take_n = lambda arr: jnp.take_along_axis(
-                arr[:, k, :], node[:, None], axis=1)[:, 0]
-            for _ in range(cfg.occupant_tree_depth + 1):
-                f = take_n(occ.tree_feature)
-                thr = take_n(occ.tree_threshold)
-                x = jnp.take_along_axis(feats, jnp.clip(f, 0, 2)[:, None],
-                                        axis=1)[:, 0]
-                left = take_n(occ.tree_children_left)
-                right = take_n(occ.tree_children_right)
-                nxt = jnp.where(x <= thr, left, right)
-                node = jnp.where(f >= 0, nxt, node)
-            return jnp.take_along_axis(occ.tree_delta[:, k, :], node[:, None],
-                                       axis=1)[:, 0]
-
-        inc_fires = (p_inc >= rp) & (p_dec < rp)
-        dec_fires = (p_dec >= rp) & (p_inc < rp)
-        delta = jnp.where(inc_fires, tree_delta(0),
-                          jnp.where(dec_fires, -tree_delta(1), 0.0))
-        warm = t >= occ.lookback     # simulate_dynamics gate (building.py:2996)
-        delta = jnp.where(warm, delta, 0.0)
-
-        trig = jnp.abs(delta) > 0.0
-        new_csp_ov = jnp.where(trig & ~heating_mode, current_sp + delta,
-                               state.occ_csp_override)
-        new_hsp_ov = jnp.where(trig & heating_mode, current_sp + delta,
-                               state.occ_hsp_override)
-        counter = state.occ_hold_counter
-        counter = jnp.where(trig, occ.hold_time_steps,
-                            jnp.where(counter >= 0, counter - 1, counter))
-        revert = counter == 0
-        nan = jnp.full_like(new_csp_ov, jnp.nan)
-        # effective setpoints for this step's reward/series reflect the
-        # fresh mutation; reversion applies from t + 1 (building.py:3310-3317)
-        csp_eff = r32(jnp.where(trig & ~heating_mode, current_sp + delta, csp_eff))
-        hsp_eff = r32(jnp.where(trig & heating_mode, current_sp + delta, hsp_eff))
-        new_csp_ov = r32(jnp.where(revert, nan, new_csp_ov))
-        new_hsp_ov = r32(jnp.where(revert, nan, new_hsp_ov))
-        counter = jnp.where(revert, -1, counter)
-        occ_state = dict(
-            occ_csp_override=new_csp_ov, occ_hsp_override=new_hsp_ov,
-            occ_hold_counter=counter, occ_prev_temp=r32(temp_t),
-            occ_prev_csp=csp_eff, occ_prev_hsp=hsp_eff)
+        csp_eff, hsp_eff, occ_state = occupant_update(
+            cfg, params, series, state, csp_data, hsp_data, hvac_mode,
+            temp_t, t, is_t0, r32)
 
     # ---- debug-mode physics assertions (reference building.py:1825-1834,
     # 657-665; SURVEY.md §5.2) — compiled in only when

@@ -175,6 +175,42 @@ def test_fast_shifted_window_matches_slow(tmp_path):
             rtol=2e-5, atol=2e-5, err_msg=var)
 
 
+def test_fast_neighborhood_family(tmp_path):
+    """The neighborhood kernel family (47-building EULP county set with
+    signed cooling_or_heating partial load) through the CLI --fast
+    dispatch: KPI pivot + exported control series vs the host-stepped
+    slow path."""
+    schema = ("/root/reference/data/datasets/"
+              "vt_chittenden_county_neighborhood/schema.json")
+    out = str(tmp_path)
+    for sid, fast in (("slow", False), ("fast", True)):
+        Simulator.evaluate(
+            schema=schema, agent_name="citylearn.agents.rbc.BasicRBC",
+            evaluation_episode_time_steps=(0, 71), simulation_id=sid,
+            output_directory=out, fast=fast)
+    load = lambda sid: json.load(
+        open(os.path.join(out, f"{sid}-evaluation.json")))
+    slow, fast = load("slow"), load("fast")
+    shared = 0
+    for kpi, cols in fast["kpis"].items():
+        for name, v in cols.items():
+            w = slow["kpis"][kpi].get(name)
+            if v is None or w is None:
+                continue
+            shared += 1
+            assert abs(v - w) <= 5e-4 * max(1.0, abs(w)), \
+                f"{kpi}/{name}: fast {v} vs slow {w}"
+    assert shared >= 40
+    b0 = next(iter(fast["time_series"]))
+    for var, vals in fast["time_series"][b0].items():
+        ref = slow["time_series"][b0].get(var)
+        if ref is None:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(ref), rtol=5e-4, atol=5e-3,
+            err_msg=var)
+
+
 def test_fast_rejects_closed_loop_agent(tmp_path):
     with pytest.raises(ValueError, match="open-loop"):
         Simulator.evaluate(

@@ -29,6 +29,8 @@ ROWS = [
      "(Pallas whole-episode kernel)", "c2023_scripted_year"),
     ("evs_chargers_wm", "EVs + chargers + washing machine "
      "(Pallas whole-episode kernel)", "evs_scripted_year"),
+    ("eulp_neighborhood", "100-building EULP neighborhood, partial-load "
+     "dispatch (Pallas whole-episode kernel)", None),
     ("eval_fast", "user-facing kernel-backed evaluate, full KPI table "
      "(Pallas + KPI assembly)", "p1_scripted_year"),
     ("eval_fast_sharded", "sharded kernel-backed evaluate "
