@@ -49,22 +49,39 @@ class ScriptedPolicy:
     chargers for ``electric_vehicle_storage``; machines for
     ``washing_machine``).
 
-    A length-24 leading axis is ALWAYS interpreted as an hour-indexed
-    table (reference HourRBC semantics) — for a 24-STEP per-step plan,
-    pass an explicit (24, n) 2-D array whose second axis differs from the
-    24-hour shape, or pad to (25,) and slice; ambiguous (24,)/(24, n)
-    shapes at S == 24 resolve as hour tables.
+    A length-24 leading axis is by default interpreted as an hour-indexed
+    table (reference HourRBC semantics). For a 24-STEP per-step plan
+    pass ``hour_tables=False``; with the default (auto) a 24-leading
+    plan on a 24-step episode resolves as an hour table WITH a warning
+    — pass ``hour_tables=True`` to silence it, ``False`` to flip it.
 
     Scripted policies are state-independent, which is what lets the
     whole-episode kernels serve them; they also act as ordinary
     in-graph policies on the XLA scan path via :meth:`as_policy_fn`
     (the fallback for non-eligible configurations)."""
 
-    def __init__(self, plans: Dict[str, np.ndarray]):
+    def __init__(self, plans: Dict[str, np.ndarray],
+                 hour_tables: Optional[bool] = None):
         unknown = set(plans) - set(ACTION_KEYS) - set(EXTRA_KEYS)
         if unknown:
             raise ValueError(f"unknown action names: {sorted(unknown)}")
         self.plans = {k: np.asarray(v, np.float32) for k, v in plans.items()}
+        self.hour_tables = hour_tables
+
+    def _is_hour_table(self, v: np.ndarray, n: int, n_steps: int) -> bool:
+        shaped = (v.ndim == 1 and v.shape[0] == 24) or \
+            (v.ndim == 2 and v.shape[0] == 24 and v.shape[1] == n)
+        if not shaped or self.hour_tables is False:
+            return False
+        if self.hour_tables is None and n_steps == 24:
+            import warnings
+
+            warnings.warn(
+                "a 24-leading action plan on a 24-step episode is "
+                "ambiguous; resolving as an HOUR-INDEXED table — pass "
+                "ScriptedPolicy(..., hour_tables=False) for a per-step "
+                "plan (or True to silence this warning)", stacklevel=3)
+        return True
 
     @classmethod
     def from_hour_rbc(cls, agent, n_buildings: int,
@@ -125,10 +142,17 @@ class ScriptedPolicy:
             n = {"electric_vehicle_storage": max(cfg.n_chargers, 1),
                  "washing_machine": max(cfg.n_washing_machines, 1),
                  }.get(k, cfg.n_buildings)
-            if v.ndim == 2 and v.shape[0] == 24 and v.shape[1] == n:
-                out[k] = v[hours - 1]
+            if self._is_hour_table(v, n, n_steps):
+                out[k] = (v[hours - 1] if v.ndim == 2
+                          else np.broadcast_to(v[hours - 1][:, None],
+                                               (n_steps, n)).copy())
             else:
-                out[k] = rollout_fast.expand_action_plan(v, hours, n_steps, n)
+                assert v.shape[0] >= n_steps, \
+                    f"per-step plan for {k} too short: {v.shape}"
+                plan = v[:n_steps]
+                if plan.ndim == 1:
+                    plan = np.broadcast_to(plan[:, None], (n_steps, n)).copy()
+                out[k] = plan
         return out
 
     def as_policy_fn(self, cfg: StaticConfig, params: DistrictParams,
@@ -145,16 +169,19 @@ class ScriptedPolicy:
         by_tau, by_t = {}, {}
         for k, v in self.plans.items():
             n = widths.get(k, B)
-            if v.ndim == 1 and v.shape[0] == 24:
-                by_tau[k] = jnp.asarray(
-                    np.broadcast_to(v[hours_full - 1][:, None],
-                                    (hours_full.shape[0], n)).copy())
-            elif v.ndim == 2 and v.shape[0] == 24 and v.shape[1] == n:
-                by_tau[k] = jnp.asarray(v[hours_full - 1])
+            if self._is_hour_table(v, n, n_steps):
+                if v.ndim == 1:
+                    by_tau[k] = jnp.asarray(
+                        np.broadcast_to(v[hours_full - 1][:, None],
+                                        (hours_full.shape[0], n)).copy())
+                else:
+                    by_tau[k] = jnp.asarray(v[hours_full - 1])
             else:
-                hours = hours_full[:n_steps]
-                by_t[k] = jnp.asarray(
-                    rollout_fast.expand_action_plan(v, hours, n_steps, n))
+                plan = np.asarray(v, np.float32)[:n_steps]
+                if plan.ndim == 1:
+                    plan = np.broadcast_to(plan[:, None],
+                                           (n_steps, n)).copy()
+                by_t[k] = jnp.asarray(plan)
         zero = jnp.zeros((B,), jnp.float32)
         keys = list(ACTION_KEYS)
         if cfg.has_evs:

@@ -120,6 +120,30 @@ def _compare_window(cfg, params, policy, off,
                                    rtol=1e-6, atol=1e-6, equal_nan=True)
 
 
+def test_scripted_policy_hour_tables_flag():
+    """The 24-leading-axis ambiguity resolves explicitly: auto mode warns
+    on a 24-step episode and keeps hour-table semantics;
+    hour_tables=False treats the plan as per-step (advisor r4 #3)."""
+    cfg, params = _env("citylearn_challenge_2022_phase_1", 25)   # S == 24
+    hours = np.asarray(params.series.hour)[:24, 0]
+    with pytest.warns(UserWarning, match="ambiguous"):
+        auto = ScriptedPolicy({"electrical_storage": BAT_TABLE}).expanded(
+            cfg, params, 24)
+    assert auto["electrical_storage"][0, 0] == BAT_TABLE[hours[0] - 1]
+    per_step = ScriptedPolicy({"electrical_storage": BAT_TABLE},
+                              hour_tables=False).expanded(cfg, params, 24)
+    assert per_step["electrical_storage"][0, 0] == BAT_TABLE[0]
+    explicit = ScriptedPolicy({"electrical_storage": BAT_TABLE},
+                              hour_tables=True)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        tbl = explicit.expanded(cfg, params, 24)
+    np.testing.assert_array_equal(tbl["electrical_storage"],
+                                  auto["electrical_storage"])
+
+
 def test_sharded_kernel_evaluate_matches_single_launch():
     """evaluate_scripted under the dp mesh (VERDICT r4 #2): shard_map
     over district tiles, one collective-free kernel launch per device,
