@@ -530,6 +530,12 @@ def main():
                                     **meta}
                     _child_checkpoint(matrix)
                     continue
+                elif name == "eulp_neighborhood" and is_child:
+                    sps, meta = _bench_neighborhood_fast(sch, d, ets, mreps)
+                    matrix[name] = {"district_steps_per_sec": round(sps, 1),
+                                    **meta}
+                    _child_checkpoint(matrix)
+                    continue
                 elif name == "c2023p1_lstm" and is_child:
                     sps, meta = _bench_lstm_fast(sch, d, ets, mreps)
                     matrix[name] = {"district_steps_per_sec": round(sps, 1),
@@ -538,8 +544,13 @@ def main():
                     continue
                 elif is_child:
                     continue                   # XLA rows run in the parent
-                elif name in ("eval_fast", "eval_fast_sharded"):
-                    continue                   # Pallas-only rows (child)
+                elif name in ("eval_fast", "eval_fast_sharded",
+                              "eulp_neighborhood"):
+                    # Pallas-only rows (child). The eulp scan fallback is
+                    # additionally unsafe: the XLA-compiled 100-building
+                    # neighborhood scan at D=1024 can hard-crash the TPU
+                    # worker like the EV charger scan (kernel fault)
+                    continue
                 else:
                     # the EV row's XLA-scan fallback runs D=2048 through
                     # rollout_districts, which chunks into 1024-district

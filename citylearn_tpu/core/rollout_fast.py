@@ -67,9 +67,15 @@ def eligible_thermal(cfg: StaticConfig) -> bool:
 #: surfaces stay collective-free.
 HLO_CAPTURE = None
 
+#: shard-mapped launch callables, keyed by (mesh devices, caller key):
+#: rebuilding shard_map around a fresh closure every call would miss the
+#: jit trace cache and re-lower (a ~10 s Mosaic recompile per call,
+#: observed as a 14x eval_fast_sharded slowdown)
+_SHARD_CACHE = {}
+
 
 def _shard_launch(mesh, fn, shared, state_args, n_state_outs: int,
-                  record: bool, n_rec: int):
+                  record: bool, n_rec: int, cache_key=None):
     """Run a whole-episode kernel launch under the ``dp`` district mesh
     via ``shard_map`` — share-nothing data parallelism over district
     tiles (SURVEY §5.8): every shard runs its own kernel launch on its
@@ -90,13 +96,19 @@ def _shard_launch(mesh, fn, shared, state_args, n_state_outs: int,
         from jax.experimental.shard_map import shard_map
     out_specs = tuple([P("dp")] * n_state_outs
                       + ([P("dp")] if record else []))
-    # check_vma off: the pallas_call's ShapeDtypeStruct outputs carry no
-    # varying-mesh-axes annotation; the launch is share-nothing by
-    # construction (asserted collective-free by dryrun gate 5)
-    smapped = shard_map(fn, mesh=mesh, in_specs=(P(), P("dp")),
-                        out_specs=out_specs, check_vma=False)
+    full_key = None if cache_key is None else (
+        tuple(mesh.devices.ravel().tolist()), cache_key)
+    smapped = _SHARD_CACHE.get(full_key) if full_key is not None else None
+    if smapped is None:
+        # check_vma off: the pallas_call's ShapeDtypeStruct outputs carry
+        # no varying-mesh-axes annotation; the launch is share-nothing by
+        # construction (asserted collective-free by dryrun gate 5)
+        smapped = jax.jit(shard_map(fn, mesh=mesh, in_specs=(P(), P("dp")),
+                                    out_specs=out_specs, check_vma=False))
+        if full_key is not None:
+            _SHARD_CACHE[full_key] = smapped
     if HLO_CAPTURE is not None:
-        HLO_CAPTURE.append(jax.jit(smapped)
+        HLO_CAPTURE.append(smapped
                            .lower(shared, state_args).compile().as_text())
     out = smapped(shared, state_args)
     if record:
@@ -228,8 +240,9 @@ def run_battery_episode(cfg: StaticConfig, params: DistrictParams,
     if mesh is None:
         out = launch(shared, state_args)
     else:
-        out = _shard_launch(mesh, launch, shared, state_args, 6,
-                            record_series, 3)
+        out = _shard_launch(
+            mesh, launch, shared, state_args, 6, record_series, 3,
+            cache_key=("battery", cfg, S, n_knots, record_series, interpret))
     sliced = tuple(o[:, :B] for o in out[:6])
     if record_series:
         sliced = sliced + (out[6][:, :S, :B],)
@@ -512,8 +525,10 @@ def run_ev_episode(cfg: StaticConfig, params: DistrictParams,
     if mesh is None:
         out = launch(shared, state0)
     else:
-        out = _shard_launch(mesh, launch, shared, state0, 10,
-                            record_series, N_EREC)
+        out = _shard_launch(
+            mesh, launch, shared, state0, 10, record_series, N_EREC,
+            cache_key=("ev", cfg, S, n_knots, ev_knots, ch_knots,
+                       record_series, interpret))
     slices = (B, B, B, B, B, B, V, V, V, max(W, 1))
     sliced = tuple(o[:, :n] for o, n in zip(out, slices))
     if record_series:
@@ -789,8 +804,10 @@ def run_lstm_episode(cfg: StaticConfig, params: DistrictParams,
     if mesh is None:
         out = launch(shared, state_args)
     else:
-        out = _shard_launch(mesh, launch, shared, state_args, 9,
-                            record_series, N_LREC)
+        out = _shard_launch(
+            mesh, launch, shared, state_args, 9, record_series, N_LREC,
+            cache_key=("lstm", cfg, S, n_knots, int(lookback),
+                       record_series, interpret))
     sliced = tuple(o[:, :B] for o in out[:9])
     if record_series:
         sliced = sliced + (out[9][:, :S, :B],)
@@ -918,8 +935,10 @@ def run_thermal_episode(cfg: StaticConfig, params: DistrictParams,
     if mesh is None:
         out = launch(shared, state_args)
     else:
-        out = _shard_launch(mesh, launch, shared, state_args, 8,
-                            record_series, N_TREC)
+        out = _shard_launch(
+            mesh, launch, shared, state_args, 8, record_series, N_TREC,
+            cache_key=("thermal", cfg, S, n_knots, record_series,
+                       interpret))
     sliced = tuple(o[:, :B] for o in out[:8])
     if record_series:
         sliced = sliced + (out[8][:, :S, :B],)
@@ -1105,8 +1124,10 @@ def run_neighborhood_episode(cfg: StaticConfig, params: DistrictParams,
     if mesh is None:
         out = launch(shared, state_args)
     else:
-        out = _shard_launch(mesh, launch, shared, state_args, 7,
-                            record_series, N_NREC)
+        out = _shard_launch(
+            mesh, launch, shared, state_args, 7, record_series, N_NREC,
+            cache_key=("neighborhood", cfg, S, n_knots, lookback,
+                       record_series, interpret))
     sliced = tuple(o[:, :B] for o in out[:7])
     if record_series:
         sliced = sliced + (out[7][:, :S, :B],)
