@@ -241,30 +241,45 @@ def _collect_chunk_kernel(actions, nsl, solar, bparams, curves,
 
 def battery_collect_chunk(prep: CollectPrep, actions, nsl, solar,
                           soc, eff, deg, *, first_chunk: bool,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          d_last: bool = False):
     """Run ``K`` closed-loop env steps for a (D, B) district batch.
 
-    ``actions``/``nsl``/``solar``: (K, D, B) float32 per-district streams
-    (actions = electrical_storage fractions; series pre-gathered at each
-    district's episode window, ``take(series, offset + t + k)``);
-    ``soc``/``eff``/``deg``: (D, B) battery state entering the chunk.
+    Default layout: ``actions``/``nsl``/``solar`` are (K, D, B) float32
+    per-district streams (actions = electrical_storage fractions; series
+    pre-gathered at each district's episode window,
+    ``take(series, offset + t + k)``); ``soc``/``eff``/``deg``: (D, B)
+    battery state entering the chunk; rewards return (K, D, B).
 
-    Returns ``(rewards (K, D, B), soc', eff', deg' (D, B))`` — the
-    per-step default reward ``-max(net, 0)`` and the post-chunk state.
+    ``d_last=True`` takes ``actions`` as (K, B, D) and ``nsl``/``solar``
+    as (B, K, D) and returns rewards as (K, B, D) — the district axis
+    stays on TPU lanes end to end, so none of the chunk streams ever
+    materialize in a (…, B)-lane layout (B ~ 5 pads to 128 lanes, a
+    ~25x physical blowup).
+
     Traceable (jit/shard_map-safe): layout moves are XLA transposes.
     """
-    K, D, B = actions.shape
     B8 = prep.b8
-    pad = ((0, 0), (0, 0), (0, B8 - B))
-    to_k = lambda x: jnp.transpose(jnp.pad(x, pad), (0, 2, 1))   # (K, B8, D)
+    if d_last:
+        K, B, D = actions.shape
+        pad_b_mid = ((0, 0), (0, B8 - B), (0, 0))
+        to_k = lambda x: jnp.pad(x, pad_b_mid)               # (K, B8, D)
+        ser_k = lambda x: jnp.pad(jnp.transpose(x, (1, 0, 2)), pad_b_mid)
+        acts, nsl_k, sol_k = to_k(actions), ser_k(nsl), ser_k(solar)
+    else:
+        K, D, B = actions.shape
+        pad = ((0, 0), (0, 0), (0, B8 - B))
+        to_k = lambda x: jnp.transpose(jnp.pad(x, pad), (0, 2, 1))
+        acts, nsl_k, sol_k = to_k(actions), to_k(nsl), to_k(solar)
     spad = ((0, 0), (0, B8 - B))
     st_k = lambda x: jnp.transpose(jnp.pad(x, spad), (1, 0))     # (B8, D)
     rew, soc1, eff1, deg1 = _collect_chunk_kernel(
-        to_k(actions), to_k(nsl), to_k(solar),
+        acts, nsl_k, sol_k,
         prep.bparams, (prep.pec_x, prep.pec_y, prep.cpc_x, prep.cpc_y),
         st_k(soc), st_k(eff), st_k(deg),
         n_steps=K, first_chunk=first_chunk, hours_ratio=prep.hours_ratio,
         ratio=prep.ratio, n_knots=prep.n_knots, interpret=interpret)
     back = lambda x: jnp.transpose(x, (1, 0))[:, :B]
-    return (jnp.transpose(rew, (0, 2, 1))[:, :, :B],
-            back(soc1), back(eff1), back(deg1))
+    rew_out = (rew[:, :B, :] if d_last
+               else jnp.transpose(rew, (0, 2, 1))[:, :, :B])
+    return rew_out, back(soc1), back(eff1), back(deg1)

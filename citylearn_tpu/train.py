@@ -214,12 +214,23 @@ class BatchedSAC:
             # Pallas TPU kernels have no compiled CPU lowering — interpret
             # there (tests); compile on TPU
             self._collect_interpret = jax.default_backend() == "cpu"
-            # whole-range encoded observations (T, A, K): the policy input
-            # is purely data-driven (obs_static semantics), so it encodes
-            # ONCE per trainer instead of once per step
+            # whole-range encoded observations, FLATTENED to (T, A * K):
+            # the policy input is purely data-driven (obs_static
+            # semantics) so it encodes ONCE per trainer — and the (A, K)
+            # trailing dims would tile-pad ~7x on TPU (sublane 8 x lane
+            # 128), so the big gather/store pipeline carries one wide
+            # feature axis instead (the replay obs/next buffers match;
+            # see _init_state)
             self._enc_table = jax.jit(lambda tbl: jax.vmap(
                 lambda row: jax.vmap(encode_obs)(self.enc_stack, row))(tbl)
-            )(self.params.obs_static)
+            )(self.params.obs_static).reshape(
+                self.params.obs_static.shape[0], -1)
+            # series pre-transposed to (B, T): per-window gathers then
+            # produce (B, K, D) chunks with districts on the lane axis —
+            # the kernel's layout — instead of a (…, B)-lane form
+            self._series_bt = (
+                jnp.transpose(self.params.series.non_shiftable_load),
+                jnp.transpose(self.params.series.solar_generation))
 
     # ------------------------------------------------------------------
     def _draw_offsets(self, key, n):
@@ -261,12 +272,15 @@ class BatchedSAC:
         env_state = self._broadcast_initial(self._draw_offsets(k_off, D))
         S = max(1, cfg.replay_capacity // D)    # replay slots (D rows each)
         A = B
+        # obs/next buffers carry ONE flattened (A * K) feature axis: the
+        # (A, K) trailing-dim form would tile-pad ~7x on TPU (sublane 8 x
+        # lane 128); rows reshape to (A, K) at the update-sample boundary
         self.state = TrainState(
             env_state=env_state, nets=nets,
-            replay_obs=jnp.zeros((S, D, A, self.obs_dim), jnp.float32),
+            replay_obs=jnp.zeros((S, D, A * self.obs_dim), jnp.float32),
             replay_act=jnp.zeros((S, D, A, self.act_dim), jnp.float32),
             replay_rew=jnp.zeros((S, D, A), jnp.float32),
-            replay_next=jnp.zeros((S, D, A, self.obs_dim), jnp.float32),
+            replay_next=jnp.zeros((S, D, A * self.obs_dim), jnp.float32),
             replay_done=jnp.zeros((S, D), jnp.float32),
             replay_pos=jnp.asarray(0, jnp.int32),
             replay_full=jnp.asarray(False),
@@ -417,10 +431,10 @@ class BatchedSAC:
             store = lambda buf, val: buf.at[slot].set(val)
             S = ts.replay_done.shape[0]
             ts = ts._replace(
-                replay_obs=store(ts.replay_obs, obs),
+                replay_obs=store(ts.replay_obs, obs.reshape(D, -1)),
                 replay_act=store(ts.replay_act, a_env),
                 replay_rew=store(ts.replay_rew, reward),
-                replay_next=store(ts.replay_next, next_obs),
+                replay_next=store(ts.replay_next, next_obs.reshape(D, -1)),
                 replay_done=store(ts.replay_done,
                                   terminated.astype(jnp.float32)),
                 replay_pos=(slot + 1) % S,
@@ -436,8 +450,10 @@ class BatchedSAC:
                                            jnp.maximum(slots_avail, 1))
                 sel_d = jax.random.randint(ks2, (cfg.batch_size,), 0, D)
                 pick = lambda buf: buf[sel_s, sel_d]
-                batch = (pick(ts.replay_obs), pick(ts.replay_act),
-                         pick(ts.replay_rew), pick(ts.replay_next),
+                unflat = lambda x: x.reshape(cfg.batch_size, A, -1)
+                batch = (unflat(pick(ts.replay_obs)), pick(ts.replay_act),
+                         pick(ts.replay_rew),
+                         unflat(pick(ts.replay_next)),
                          jnp.broadcast_to(pick(ts.replay_done)[:, None],
                                           (cfg.batch_size, A)))
                 return vupdate(nets, batch, jax.random.split(k_upd, A),
@@ -517,11 +533,22 @@ class BatchedSAC:
             steps = jnp.arange(kc, dtype=jnp.int32)
             off = ts.env_state.data_offset                  # (D,)
             tau = off[None, :] + ts.env_state.t[None, :] + steps[:, None]
-            obs = jnp.take(self._enc_table, tau, axis=0)    # (kc, D, A, K)
+            # flat (kc, D, A * K) rows: the replay layout, and the widest
+            # (least tile-padded) form for the gather/store pipeline
+            obs = jnp.take(self._enc_table, tau, axis=0)
 
-            # -- policy sweep: one batched MLP stack over the chunk -----
-            mean, log_std = jax.vmap(_policy_forward, in_axes=(0, 2),
-                                     out_axes=2)(ts.nets.policy, obs)
+            # -- policy sweep: one batched MLP stack over the chunk;
+            # per-agent lane slices of the flat rows feed the matmuls
+            # directly (XLA fuses a contiguous slice into the dot) -----
+            W = self.obs_dim
+            outs = [
+                _policy_forward(
+                    jax.tree_util.tree_map(lambda x, a=a: x[a],
+                                           ts.nets.policy),
+                    obs[..., a * W:(a + 1) * W])
+                for a in range(A)]
+            mean = jnp.stack([m for m, _ in outs], axis=2)  # (kc, D, A, M)
+            log_std = jnp.stack([s for _, s in outs], axis=2)
             keys_a = jax.vmap(lambda k: jax.random.split(k, A))(k_act)
             noise = jax.vmap(jax.vmap(
                 lambda k: jax.random.normal(k, (D, M))))(keys_a)
@@ -535,24 +562,26 @@ class BatchedSAC:
             explore = (ts.step + steps) < cfg.warmup_steps  # (kc,)
             a_env = jnp.where(explore[:, None, None, None], a_rand, a_pi)
 
-            # -- env recurrence: per-district series at each window -----
-            es = jnp.einsum("kdam,am->kda", a_env, w_es)    # (kc, D, B)
-            nsl = jnp.take(self.params.series.non_shiftable_load, tau,
-                           axis=0)                          # (kc, D, B)
-            sol = jnp.take(self.params.series.solar_generation, tau, axis=0)
+            # -- env recurrence: per-district series at each window, all
+            # streams with districts on the lane axis (d_last) ----------
+            es = jnp.einsum("kdam,am->kad", a_env, w_es)    # (kc, B, D)
+            nsl = jnp.take(self._series_bt[0], tau, axis=1)  # (B, kc, D)
+            sol = jnp.take(self._series_bt[1], tau, axis=1)
             st = ts.env_state
             rew_b, soc, eff, deg = battery_collect_chunk(
                 self._collect_prep, es, nsl, sol,
                 st.battery_soc, st.battery_efficiency,
                 st.battery_degraded_capacity, first_chunk=first_chunk,
-                interpret=self._collect_interpret)
-            reward = rew_b * cfg.reward_scale               # (kc, D, A)
+                interpret=self._collect_interpret, d_last=True)
+            reward = jnp.transpose(rew_b, (0, 2, 1)) \
+                * cfg.reward_scale                          # (kc, D, A)
 
             # next_obs: the following step's data row (pre-reset at the
             # episode boundary, matching one_step's store semantics)
             tau_last = off + ts.env_state.t + kc            # (D,)
             obs_next_last = jnp.take(self._enc_table, tau_last, axis=0)
             next_obs = jnp.concatenate([obs[1:], obs_next_last[None]], 0)
+            unflat = lambda x: x.reshape(x.shape[:-1] + (A, W))
 
             # -- replay ring writes (chunk-sized, device-local) ---------
             S = ts.replay_done.shape[0]
@@ -584,8 +613,10 @@ class BatchedSAC:
                                                jnp.maximum(avail, 1))
                     sel_d = jax.random.randint(ks2, (cfg.batch_size,), 0, D)
                     pick = lambda buf: buf[sel_s, sel_d]
-                    batch = (pick(ts.replay_obs), pick(ts.replay_act),
-                             pick(ts.replay_rew), pick(ts.replay_next),
+                    batch = (unflat(pick(ts.replay_obs)),
+                             pick(ts.replay_act),
+                             pick(ts.replay_rew),
+                             unflat(pick(ts.replay_next)),
                              jnp.broadcast_to(
                                  pick(ts.replay_done)[:, None],
                                  (cfg.batch_size, A)))
@@ -602,13 +633,13 @@ class BatchedSAC:
             if do_reset:
                 env_state = self._broadcast_initial(
                     self._draw_offsets(k_reset[-1], D))
-                cur_obs = jnp.take(self._enc_table,
-                                   env_state.data_offset, axis=0)
+                cur_obs = unflat(jnp.take(self._enc_table,
+                                          env_state.data_offset, axis=0))
             else:
                 env_state = st.replace(
                     t=st.t + kc, battery_soc=soc, battery_efficiency=eff,
                     battery_degraded_capacity=deg)
-                cur_obs = obs_next_last
+                cur_obs = unflat(obs_next_last)
             ts = ts._replace(env_state=env_state, nets=nets, key=key_final,
                              step=ts.step + kc, cur_obs=cur_obs)
             return ts, jnp.sum(reward)

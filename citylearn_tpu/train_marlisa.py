@@ -260,10 +260,11 @@ class BatchedMARLISA(BatchedSAC):
                     do_store, lambda b: b.at[slot].set(val), lambda b: b, buf)
 
             ts = ts._replace(
-                replay_obs=store(ts.replay_obs, ms.prev_obs),
+                replay_obs=store(ts.replay_obs,
+                                 ms.prev_obs.reshape(D, -1)),
                 replay_act=store(ts.replay_act, ms.prev_act),
                 replay_rew=store(ts.replay_rew, ms.prev_rew),
-                replay_next=store(ts.replay_next, obs_cv),
+                replay_next=store(ts.replay_next, obs_cv.reshape(D, -1)),
                 replay_done=store(ts.replay_done,
                                   jnp.zeros((D,), jnp.float32)),
                 replay_pos=jnp.where(do_store, (slot + 1) % S, slot),
@@ -278,8 +279,11 @@ class BatchedMARLISA(BatchedSAC):
                                            jnp.maximum(slots_avail, 1))
                 sel_d = jax.random.randint(ks2, (cfg.batch_size,), 0, D)
                 pick_b = lambda buf: buf[sel_s, sel_d]
-                batch = (pick_b(ts.replay_obs), pick_b(ts.replay_act),
-                         pick_b(ts.replay_rew), pick_b(ts.replay_next),
+                unflat = lambda x: x.reshape(cfg.batch_size, A, -1)
+                batch = (unflat(pick_b(ts.replay_obs)),
+                         pick_b(ts.replay_act),
+                         pick_b(ts.replay_rew),
+                         unflat(pick_b(ts.replay_next)),
                          jnp.broadcast_to(pick_b(ts.replay_done)[:, None],
                                           (cfg.batch_size, A)))
                 return vupdate(nets, batch, jax.random.split(k_upd, A),
