@@ -482,11 +482,39 @@ class BatchedSAC:
         from citylearn_tpu.core import rollout_fast
         from citylearn_tpu.ops.pallas_collect import DL
 
+        n_shards = (1 if self.mesh is None
+                    else int(np.prod(self.mesh.devices.shape)))
         return (self.cfg.collect != "scan"
                 and rollout_fast.eligible(self.env_cfg)
-                and self.cfg.n_districts % DL == 0
-                and self.extra_obs_dim == 0
-                and self.mesh is None)
+                and self.cfg.n_districts % (DL * n_shards) == 0
+                and self.extra_obs_dim == 0)
+
+    def _run_collect_kernel(self, es, nsl, sol, soc, eff, deg,
+                            first_chunk: bool):
+        """One chunked Pallas recurrence launch (d_last layouts). Under a
+        dp mesh the launch runs through ``shard_map`` over district
+        tiles — share-nothing like the evaluate surfaces' kernel
+        dispatch (``rollout_fast._shard_launch``), one collective-free
+        launch per device; the rest of the collect program (gathers,
+        policy sweep, replay writes) partitions automatically from the
+        sharding annotations."""
+        from citylearn_tpu.ops.pallas_collect import battery_collect_chunk
+
+        call = functools.partial(
+            battery_collect_chunk, self._collect_prep,
+            first_chunk=first_chunk, interpret=self._collect_interpret,
+            d_last=True)
+        if self.mesh is None:
+            return call(es, nsl, sol, soc, eff, deg)
+        from jax.sharding import PartitionSpec as P
+
+        dlast = P(None, None, "dp")       # (K, B, D) / (B, K, D) streams
+        state = P("dp")                   # (D, B) battery state
+        return jax.shard_map(
+            call, mesh=self.mesh,
+            in_specs=(dlast, dlast, dlast, state, state, state),
+            out_specs=(dlast, state, state, state),
+            check_vma=False)(es, nsl, sol, soc, eff, deg)
 
     def _get_collect_fn(self, kc: int, first_chunk: bool, do_reset: bool):
         key = (kc, first_chunk, do_reset)
@@ -506,7 +534,6 @@ class BatchedSAC:
         after every step. Off-policy SAC is insensitive to this lag
         (tests/test_collect_fast.py)."""
         from citylearn_tpu.agents.sac import _policy_forward
-        from citylearn_tpu.ops.pallas_collect import battery_collect_chunk
 
         cfg = self.cfg
         D = cfg.n_districts
@@ -519,6 +546,9 @@ class BatchedSAC:
             done_row[-1] = 1.0
         vupdate = jax.vmap(self._make_update_agent(),
                            in_axes=(0, 1, 0, 0, 0, 0))
+
+        run_kernel = functools.partial(
+            self._run_collect_kernel, first_chunk=first_chunk)
 
         def collect(ts: TrainState):
             # -- replay the per-step key chain of one_step --------------
@@ -568,11 +598,9 @@ class BatchedSAC:
             nsl = jnp.take(self._series_bt[0], tau, axis=1)  # (B, kc, D)
             sol = jnp.take(self._series_bt[1], tau, axis=1)
             st = ts.env_state
-            rew_b, soc, eff, deg = battery_collect_chunk(
-                self._collect_prep, es, nsl, sol,
-                st.battery_soc, st.battery_efficiency,
-                st.battery_degraded_capacity, first_chunk=first_chunk,
-                interpret=self._collect_interpret, d_last=True)
+            rew_b, soc, eff, deg = run_kernel(
+                es, nsl, sol, st.battery_soc, st.battery_efficiency,
+                st.battery_degraded_capacity)
             reward = jnp.transpose(rew_b, (0, 2, 1)) \
                 * cfg.reward_scale                          # (kc, D, A)
 

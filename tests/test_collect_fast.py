@@ -125,6 +125,33 @@ def test_kernel_collect_gating():
                    random_seed=0, episode_time_steps=24)
 
 
+def test_kernel_collect_sharded_matches_unsharded():
+    """Multi-chip closed-loop training: under the dp mesh the collect's
+    Pallas recurrence dispatches through shard_map over district tiles
+    (train._run_collect_kernel); with the same seed the sharded trainer
+    must reproduce the unsharded one's transitions and state."""
+    from citylearn_tpu.parallel import district_mesh
+
+    mesh = district_mesh()                # conftest forces 8 CPU devices
+    n = len(mesh.devices.ravel())
+    Dm = 128 * n
+    base = dict(n_districts=Dm, warmup_steps=10**9, batch_size=32,
+                replay_capacity=Dm * 16, hidden=(8, 8))
+    plain = BatchedSAC(SCHEMA, TrainConfig(collect="kernel", **base),
+                       random_seed=0, episode_time_steps=24)
+    shard = BatchedSAC(SCHEMA, TrainConfig(collect="kernel", **base),
+                       random_seed=0, episode_time_steps=24, mesh=mesh)
+    assert plain.use_kernel_collect and shard.use_kernel_collect
+    plain.train(12, chunk=12)
+    shard.train(12, chunk=12)
+    np.testing.assert_allclose(
+        np.asarray(plain.state.env_state.battery_soc),
+        np.asarray(shard.state.env_state.battery_soc), atol=2e-5, rtol=0)
+    np.testing.assert_allclose(
+        np.asarray(plain.state.replay_rew),
+        np.asarray(shard.state.replay_rew), atol=2e-5, rtol=0)
+
+
 def test_kernel_collect_checkpoint_resume(tmp_path):
     """Full-state checkpoint restores the episode phase so chunk
     alignment (and therefore the RNG chain) continues bit-exactly."""
