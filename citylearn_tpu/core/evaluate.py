@@ -319,21 +319,23 @@ def evaluate_districts(cfg: StaticConfig, params: DistrictParams,
     run = jax.jit(evaluate_districts_fn(cfg, policy_fn, n_steps,
                                         baseline_condition))
     D = states.t.shape[0]
-    from citylearn_tpu.core.rollout import EV_SCAN_SAFE_D, _ev_scan_chunked
+    from citylearn_tpu.core.rollout import _ev_scan_chunked, _scan_safe_chunk
 
     if _ev_scan_chunked(cfg, D):
-        # the XLA charger-scan program crashes the TPU worker at
-        # D >= 2048 (see rollout.EV_SCAN_SAFE_D) — chunk the batch
+        # the XLA charger/large-neighborhood scan programs crash the TPU
+        # worker at large batches (see rollout.EV_SCAN_SAFE_D /
+        # DYN_SCAN_SAFE_D) — chunk the batch
         import warnings
 
+        chunk = _scan_safe_chunk(cfg)
         warnings.warn(
-            f"chunking EV evaluate_districts into {EV_SCAN_SAFE_D}-"
-            "district launches (TPU charger-scan crash guard; see "
+            f"chunking EV evaluate_districts into {chunk}-district "
+            "launches (TPU scan crash guard; see "
             "core/rollout.EV_SCAN_SAFE_D)", RuntimeWarning, stacklevel=2)
         tables = []
-        for lo in range(0, D, EV_SCAN_SAFE_D):
+        for lo in range(0, D, chunk):
             sub = jax.tree_util.tree_map(
-                lambda x: x[lo:lo + EV_SCAN_SAFE_D], states)
+                lambda x: x[lo:lo + chunk], states)
             tables.append(run(params, sub))
         return {k: jnp.concatenate([t[k] for t in tables], axis=0)
                 for k in tables[0]}

@@ -109,10 +109,29 @@ def hour_rbc_policy(table: jnp.ndarray, action_key: str = "electrical_storage"):
 #: clean). Larger batches are transparently chunked (VERDICT r4 #6).
 EV_SCAN_SAFE_D = 1024
 
+#: Same class of XLA/TPU-runtime kernel fault for LARGE LSTM-dynamics
+#: scan programs: the 100-building ca_alameda year scan crashes the
+#: worker at D = 512 (D = 256 runs clean; the Pallas neighborhood kernel
+#: runs D >= 1024 clean). Guards every >= 20-building dynamics config
+#: (the five neighborhood-family datasets).
+DYN_SCAN_SAFE_D = 256
+
 
 def _ev_scan_chunked(cfg: StaticConfig, n_districts: int) -> bool:
-    return (cfg.has_evs and n_districts > EV_SCAN_SAFE_D
-            and jax.default_backend() == "tpu")
+    """Chunk the vmapped episode scan on TPU for configs whose compiled
+    program is known to hard-crash the worker at large batches."""
+    if jax.default_backend() != "tpu":
+        return False
+    if cfg.has_evs and n_districts > EV_SCAN_SAFE_D:
+        return True
+    return (cfg.has_dynamics and cfg.n_buildings >= 20
+            and n_districts > DYN_SCAN_SAFE_D)
+
+
+def _scan_safe_chunk(cfg: StaticConfig) -> int:
+    if cfg.has_dynamics and cfg.n_buildings >= 20:
+        return DYN_SCAN_SAFE_D
+    return EV_SCAN_SAFE_D
 
 
 def rollout_districts(cfg: StaticConfig, params: DistrictParams,
@@ -121,9 +140,10 @@ def rollout_districts(cfg: StaticConfig, params: DistrictParams,
     """Batched closed-loop episode rollout over a (D, ...) state batch —
     the library-level entry point for large vmapped scans.
 
-    On TPU, charger-bearing (EV) configurations are chunked to
-    ``EV_SCAN_SAFE_D`` districts per launch with a warning (see the
-    constant's note); everything else runs as one launch."""
+    On TPU, charger-bearing (EV) and large LSTM-dynamics configurations
+    are chunked to a safe per-launch district count with a warning (see
+    ``EV_SCAN_SAFE_D`` / ``DYN_SCAN_SAFE_D``); everything else runs as
+    one launch."""
     D = states.t.shape[0]
     fn = jax.jit(jax.vmap(
         lambda p, s: rollout_policy(cfg, p, s, n_steps, policy),
@@ -133,15 +153,16 @@ def rollout_districts(cfg: StaticConfig, params: DistrictParams,
 
     import warnings
 
+    chunk = _scan_safe_chunk(cfg)
     warnings.warn(
-        f"chunking the EV episode scan into {EV_SCAN_SAFE_D}-district "
-        "launches: the XLA-compiled charger program crashes the TPU "
-        "worker at D >= 2048 (tools/ev_repro.py); the Pallas EV kernel "
-        "path (core/rollout_fast.run_ev_episode) has no such limit",
+        f"chunking the EV episode scan into {chunk}-district launches: "
+        "the XLA-compiled charger/neighborhood scan program crashes the "
+        "TPU worker at larger batches (tools/ev_repro.py); the Pallas "
+        "kernel paths (core/rollout_fast) have no such limit",
         RuntimeWarning, stacklevel=2)
     outs = []
-    for lo in range(0, D, EV_SCAN_SAFE_D):
-        hi = min(lo + EV_SCAN_SAFE_D, D)
+    for lo in range(0, D, chunk):
+        hi = min(lo + chunk, D)
         sub = jax.tree_util.tree_map(lambda x: x[lo:hi], states)
         outs.append(fn(params, sub))
     cat = lambda *xs: jnp.concatenate(xs, axis=0)

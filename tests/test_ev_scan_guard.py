@@ -76,3 +76,25 @@ def test_chunked_evaluate_districts(env, monkeypatch):
 def test_no_chunking_off_tpu(env):
     cfg, _ = env
     assert not rollout._ev_scan_chunked(cfg, 4096)   # CPU backend here
+
+
+def test_dynamics_scan_guard(monkeypatch):
+    """Large LSTM-dynamics scans are guarded too: the 100-building
+    alameda year scan crashes the TPU worker at D=512 (D=256 clean),
+    so >=20-building dynamics configs chunk to DYN_SCAN_SAFE_D."""
+    from citylearn_tpu.core.evaluate_fast import kernel_family
+
+    spec = compile_schema(
+        "/root/reference/data/datasets/ca_alameda_county_neighborhood/"
+        "schema.json", random_seed=0, episode_time_steps=24)
+    cfg, _ = pack(spec)[:2]
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert rollout._ev_scan_chunked(cfg, 512)
+    assert not rollout._ev_scan_chunked(cfg, 256)
+    assert rollout._scan_safe_chunk(cfg) == rollout.DYN_SCAN_SAFE_D
+    # small-B dynamics configs (2023 family) stay unguarded
+    spec2 = compile_schema(
+        "/root/reference/data/datasets/citylearn_challenge_2023_phase_1/"
+        "schema.json", random_seed=0, episode_time_steps=24)
+    cfg2, _ = pack(spec2)[:2]
+    assert not rollout._ev_scan_chunked(cfg2, 2048)
